@@ -1,0 +1,94 @@
+"""Benchmark: 2D train throughput on the current accelerator.
+
+Headline metric (BASELINE.json config #1 / north star): training throughput
+in 256×256 grayscale slices/sec/chip for the classic UNet (reference-width
+base 64, bf16 compute, fp32 params + loss).  vs_baseline is measured against
+the 10,000 slices/sec north-star target.
+
+Methodology: jitted full train step (fwd + bwd + AdamW update, donated
+state), data resident on device; warmup step excluded; N chained steps timed
+with a single host sync on the final loss value (the loss depends on every
+preceding step, so the fetch forces completion of the whole chain — robust
+against async-dispatch illusions on remote-attached TPUs).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def bench_unet2d(base_features: int, batch: int, res: int = 256, steps: int = 60):
+    from mdeical_image_segmentation_tpu.models import UNetConfig, UNetModel
+
+    model = UNetModel(
+        UNetConfig(
+            in_channels=1, out_channels=1, unet_type="UNet",
+            base_features=base_features, compute_dtype="bfloat16",
+        )
+    )
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(batch, res, res, 1), jnp.float32)
+    y = (x > 0.5).astype(jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x[:1])
+    opt = optax.adamw(1e-3)
+    opt_state = opt.init(variables["params"])
+
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            out = model.apply({"params": p}, x, y, train=True)
+            return out.loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    jstep = jax.jit(step, donate_argnums=(0, 1))
+    params, opt_state = variables["params"], opt_state
+    params, opt_state, loss = jstep(params, opt_state, x, y)
+    float(loss)  # warmup + compile barrier
+
+    t0 = time.time()
+    for _ in range(steps):
+        params, opt_state, loss = jstep(params, opt_state, x, y)
+    final_loss = float(loss)  # single sync forcing the whole chain
+    dt = time.time() - t0
+    return {
+        "slices_per_sec": steps * batch / dt,
+        "ms_per_step": dt / steps * 1e3,
+        "batch": batch,
+        "final_loss": final_loss,
+    }
+
+
+def main():
+    device = jax.devices()[0]
+    headline = bench_unet2d(base_features=64, batch=32, steps=40)
+    fast = bench_unet2d(base_features=16, batch=128, steps=20)
+
+    value = round(headline["slices_per_sec"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "unet2d_train_throughput_256px_base64_bf16",
+                "value": value,
+                "unit": "slices/sec/chip",
+                "vs_baseline": round(value / 10000.0, 4),
+                "extra": {
+                    "device": str(device),
+                    "ms_per_step": round(headline["ms_per_step"], 2),
+                    "batch": headline["batch"],
+                    "unet2d_base16_slices_per_sec": round(fast["slices_per_sec"], 1),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Batch collation + host→device loading.
+
+``SliceCollator`` reproduces the reference collator contract
+(/root/reference/dataset/unet2d_dataset/MYDataCollator.py:3-18): stack
+per-sample ``image``/``mask`` into a batch dict ``{"images", "labels"}`` —
+the exact keys consumed by the model wrappers and the trainer.  Arrays are
+channels-last numpy; device placement happens in the prefetcher.
+
+``BatchLoader`` is the DataLoader equivalent: deterministic or shuffled
+epoch order, fixed batch size with drop-last (static shapes for XLA), and an
+optional background thread that overlaps host batch assembly with device
+compute (the TPU-idiomatic replacement for torch DataLoader workers).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+class SliceCollator:
+    """Stack samples to {"images": (N,H,W,C), "labels": (N,H,W,1)}."""
+
+    def __call__(self, batch: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+        images = np.stack([s["image"] for s in batch], axis=0)
+        masks = np.stack([s["mask"] for s in batch], axis=0)
+        return {"images": images, "labels": masks}
+
+
+# Back-compat aliases mirroring the reference class names.
+DRIVEDataCollator = SliceCollator
+BUSIDataCollator = SliceCollator
+
+
+class BatchLoader:
+    """Minimal epoch iterator over an indexable dataset.
+
+    - fixed ``batch_size`` with drop-last when shuffling (training) so every
+      step has identical shapes (no XLA recompiles); padded final batch kept
+      for eval (``drop_last=False`` pads by wrapping).
+    - ``prefetch > 0`` runs collation in a daemon thread, keeping up to
+      ``prefetch`` ready batches — double-buffering against device compute.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        *,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: Optional[bool] = None,
+        collator: Optional[SliceCollator] = None,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = shuffle if drop_last is None else drop_last
+        self.collator = collator or SliceCollator()
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return max(n // self.batch_size, 0)
+        return -(-n // self.batch_size)
+
+    def _index_batches(self) -> List[np.ndarray]:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self._epoch)
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        batches = []
+        for start in range(0, n, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if len(idx) < self.batch_size:
+                if self.drop_last:
+                    break
+                # pad by wrapping so shapes stay static; callers can use
+                # `valid` to mask padded rows out of metrics.
+                pad = order[: self.batch_size - len(idx)]
+                idx = np.concatenate([idx, pad])
+            batches.append(idx)
+        return batches
+
+    def _assemble(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        return self.collator([self.dataset[int(i)] for i in idx])
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._index_batches()
+        self._epoch += 1
+        if self.prefetch <= 0:
+            for idx in batches:
+                yield self._assemble(idx)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for idx in batches:
+                    q.put(self._assemble(idx))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item

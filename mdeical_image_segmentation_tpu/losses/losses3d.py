@@ -1,0 +1,356 @@
+"""Config-driven loss registry (pure JAX), reference model/unet3d/losses.py parity.
+
+All dense inputs/targets are **channels-last** (N, *spatial, C); class-id
+targets for the cross-entropy family are integer arrays of shape
+(N, *spatial).  Every loss is a stateless callable ``loss(input, target)``
+(or ``loss(input, target, weights)`` for PixelWiseCrossEntropyLoss), jit-able
+and differentiable.
+
+The factory ``get_loss_criterion(config)`` mirrors the reference dispatch
+(losses.py:273-380) including the wrapper composition rules: ignore_index →
+``MaskingLossWrapper`` for non-CE losses, ``skip_last_target`` →
+``SkipLastTargetChannelWrapper``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .losses2d import segmentation_loss
+
+Loss = Callable[..., jax.Array]
+
+
+def flatten(x: jax.Array) -> jax.Array:
+    """(N, *spatial, C) → (C, N * prod(spatial)); the channel-first flatten of
+    the reference (losses.py:258-270) adapted to channels-last layout."""
+    return jnp.moveaxis(x, -1, 0).reshape(x.shape[-1], -1)
+
+
+def compute_per_channel_dice(
+    probs: jax.Array,
+    target: jax.Array,
+    epsilon: float = 1e-6,
+    weight: Optional[jax.Array] = None,
+) -> jax.Array:
+    """V-Net dice per channel with the squared-denominator extension
+    (reference losses.py:7-33).  `probs` must already be normalized."""
+    assert probs.shape == target.shape, (probs.shape, target.shape)
+    p = flatten(probs)
+    t = flatten(target).astype(jnp.float32)
+    intersect = (p * t).sum(-1)
+    if weight is not None:
+        intersect = weight * intersect
+    denominator = (p * p).sum(-1) + (t * t).sum(-1)
+    return 2.0 * (intersect / jnp.clip(denominator, min=epsilon))
+
+
+def _normalizer(normalization: str) -> Callable[[jax.Array], jax.Array]:
+    if normalization == "sigmoid":
+        return jax.nn.sigmoid
+    if normalization == "softmax":
+        return lambda x: jax.nn.softmax(x, axis=-1)
+    if normalization == "none":
+        return lambda x: x
+    raise AssertionError(f"unknown normalization {normalization!r}")
+
+
+class DiceLoss:
+    """1 − mean per-channel V-Net dice (reference losses.py:115-130)."""
+
+    def __init__(self, weight=None, normalization: str = "sigmoid"):
+        self.weight = None if weight is None else jnp.asarray(weight)
+        self.normalization = _normalizer(normalization)
+
+    def __call__(self, input: jax.Array, target: jax.Array) -> jax.Array:
+        probs = self.normalization(input)
+        return 1.0 - compute_per_channel_dice(probs, target, weight=self.weight).mean()
+
+
+class GeneralizedDiceLoss:
+    """GDL with inverse-square-volume class weighting (reference
+    losses.py:132-164); a 1-channel input auto-expands to fg/bg."""
+
+    def __init__(self, normalization: str = "sigmoid", epsilon: float = 1e-6):
+        self.normalization = _normalizer(normalization)
+        self.epsilon = epsilon
+
+    def __call__(self, input: jax.Array, target: jax.Array) -> jax.Array:
+        assert input.shape == target.shape
+        p = flatten(self.normalization(input))
+        t = flatten(target).astype(jnp.float32)
+        if p.shape[0] == 1:
+            p = jnp.concatenate([p, 1.0 - p], axis=0)
+            t = jnp.concatenate([t, 1.0 - t], axis=0)
+        w = jax.lax.stop_gradient(
+            1.0 / jnp.clip(jnp.square(t.sum(-1)), min=self.epsilon)
+        )
+        intersect = ((p * t).sum(-1) * w).sum()
+        denominator = jnp.clip(((p + t).sum(-1) * w), min=self.epsilon).sum()
+        return 1.0 - 2.0 * intersect / denominator
+
+
+class BCEWithLogitsLoss:
+    """Torch BCEWithLogitsLoss(pos_weight) parity, mean reduction."""
+
+    def __init__(self, pos_weight=None):
+        self.pos_weight = None if pos_weight is None else jnp.asarray(pos_weight)
+
+    def __call__(self, input: jax.Array, target: jax.Array) -> jax.Array:
+        x, t = input, target.astype(input.dtype)
+        log_sig = jax.nn.log_sigmoid(x)
+        log_one_minus = jax.nn.log_sigmoid(-x)
+        if self.pos_weight is not None:
+            loss = -(self.pos_weight * t * log_sig + (1.0 - t) * log_one_minus)
+        else:
+            loss = -(t * log_sig + (1.0 - t) * log_one_minus)
+        return loss.mean()
+
+
+class BCEDiceLoss:
+    """alpha·BCE + beta·Dice (reference losses.py:167-178)."""
+
+    def __init__(self, alpha: float = 1.0, beta: float = 1.0):
+        self.alpha = alpha
+        self.beta = beta
+        self.bce = BCEWithLogitsLoss()
+        self.dice = DiceLoss()
+
+    def __call__(self, input: jax.Array, target: jax.Array) -> jax.Array:
+        return self.alpha * self.bce(input, target) + self.beta * self.dice(
+            input, target
+        )
+
+
+class CrossEntropyLoss:
+    """Torch CrossEntropyLoss(weight, ignore_index) parity: channels-last
+    logits (N, *sp, C), integer targets (N, *sp); weighted mean over
+    non-ignored elements."""
+
+    def __init__(self, weight=None, ignore_index: int = -100):
+        self.weight = None if weight is None else jnp.asarray(weight)
+        self.ignore_index = ignore_index
+
+    def __call__(self, input: jax.Array, target: jax.Array) -> jax.Array:
+        logp = jax.nn.log_softmax(input, axis=-1)
+        t = target.astype(jnp.int32)
+        valid = t != self.ignore_index
+        safe_t = jnp.where(valid, t, 0)
+        picked = jnp.take_along_axis(logp, safe_t[..., None], axis=-1)[..., 0]
+        if self.weight is not None:
+            w = self.weight[safe_t] * valid
+        else:
+            w = valid.astype(input.dtype)
+        return -(picked * w).sum() / jnp.clip(w.sum(), min=1e-12)
+
+
+class WeightedCrossEntropyLoss:
+    """WCE (https://arxiv.org/pdf/1707.03237.pdf): CE with per-class weights
+    (1−p̂_c)/p̂_c from the softmax volume, detached
+    (reference losses.py:181-201)."""
+
+    def __init__(self, ignore_index: int = -1):
+        self.ignore_index = ignore_index
+
+    def __call__(self, input: jax.Array, target: jax.Array) -> jax.Array:
+        probs = flatten(jax.nn.softmax(input, axis=-1))
+        class_weights = jax.lax.stop_gradient(
+            (1.0 - probs).sum(-1) / probs.sum(-1)
+        )
+        return CrossEntropyLoss(class_weights, self.ignore_index)(input, target)
+
+
+class PixelWiseCrossEntropyLoss:
+    """Per-pixel weighted CE with one-hot targets (reference losses.py:204-235).
+
+    ``weights`` has the same shape as ``target`` (N, *sp)."""
+
+    def __init__(self, ignore_index: Optional[int] = None):
+        self.ignore_index = ignore_index
+
+    def __call__(
+        self, input: jax.Array, target: jax.Array, weights: jax.Array
+    ) -> jax.Array:
+        assert target.shape == weights.shape
+        logp = jax.nn.log_softmax(input, axis=-1)
+        t = target.astype(jnp.int32)
+        if self.ignore_index is not None:
+            mask = t == self.ignore_index
+            t = jnp.where(mask, 0, t)
+        else:
+            mask = jnp.zeros_like(t, dtype=bool)
+        onehot = jax.nn.one_hot(t, input.shape[-1], dtype=input.dtype)
+        onehot = onehot * (~mask)[..., None]
+        result = -weights[..., None] * onehot * logp
+        return result.mean()
+
+
+class MSELoss:
+    def __call__(self, input, target):
+        return jnp.square(input - target).mean()
+
+
+class L1Loss:
+    def __call__(self, input, target):
+        return jnp.abs(input - target).mean()
+
+
+def _smooth_l1(diff: jax.Array, beta: float = 1.0) -> jax.Array:
+    a = jnp.abs(diff)
+    return jnp.where(a < beta, 0.5 * a * a / beta, a - 0.5 * beta)
+
+
+class SmoothL1Loss:
+    def __call__(self, input, target):
+        return _smooth_l1(input - target).mean()
+
+
+class WeightedSmoothL1Loss:
+    """Smooth-L1 with a multiplicative weight below/above a target threshold
+    (reference losses.py:238-255)."""
+
+    def __init__(
+        self,
+        threshold: float,
+        initial_weight: float,
+        apply_below_threshold: bool = True,
+    ):
+        self.threshold = threshold
+        self.weight = initial_weight
+        self.apply_below_threshold = apply_below_threshold
+
+    def __call__(self, input, target):
+        l1 = _smooth_l1(input - target)
+        if self.apply_below_threshold:
+            mask = target < self.threshold
+        else:
+            mask = target >= self.threshold
+        l1 = jnp.where(mask, l1 * self.weight, l1)
+        return l1.mean()
+
+
+class MaskingLossWrapper:
+    """Zero out input/target where target == ignore_index
+    (reference losses.py:36-56)."""
+
+    def __init__(self, loss: Loss, ignore_index: int):
+        assert ignore_index is not None, "ignore_index cannot be None"
+        self.loss = loss
+        self.ignore_index = ignore_index
+
+    def __call__(self, input, target):
+        mask = (target != self.ignore_index).astype(input.dtype)
+        return self.loss(input * mask, target * mask)
+
+
+class SkipLastTargetChannelWrapper:
+    """Drop the last target channel before the loss (reference losses.py:59-80)."""
+
+    def __init__(self, loss: Loss, squeeze_channel: bool = False):
+        self.loss = loss
+        self.squeeze_channel = squeeze_channel
+
+    def __call__(self, input, target, weight=None):
+        assert target.shape[-1] > 1, (
+            "Target tensor has a singleton channel dimension, cannot remove channel"
+        )
+        target = target[..., :-1]
+        if self.squeeze_channel:
+            target = jnp.squeeze(target, axis=-1)
+        if weight is not None:
+            return self.loss(input, target, weight)
+        return self.loss(input, target)
+
+
+class SegmentationLoss:
+    """Hybrid F1 + MS-SSIM + IoU (2D; reference model/unet2d/loss.py:59-70)."""
+
+    def __call__(self, input, target):
+        return segmentation_loss(input, target)
+
+
+def _create_loss(
+    name: str,
+    loss_config: Dict[str, Any],
+    weight,
+    ignore_index,
+    pos_weight,
+) -> Loss:
+    if name == "BCEWithLogitsLoss":
+        return BCEWithLogitsLoss(pos_weight=pos_weight)
+    if name == "BCEDiceLoss":
+        return BCEDiceLoss(
+            alpha=loss_config.get("alpha", 1.0), beta=loss_config.get("beta", 1.0)
+        )
+    if name == "CrossEntropyLoss":
+        return CrossEntropyLoss(
+            weight=weight,
+            ignore_index=ignore_index if ignore_index is not None else -100,
+        )
+    if name == "WeightedCrossEntropyLoss":
+        return WeightedCrossEntropyLoss(
+            ignore_index=ignore_index if ignore_index is not None else -100
+        )
+    if name == "PixelWiseCrossEntropyLoss":
+        return PixelWiseCrossEntropyLoss(ignore_index=ignore_index)
+    if name == "GeneralizedDiceLoss":
+        return GeneralizedDiceLoss(
+            normalization=loss_config.get("normalization", "sigmoid")
+        )
+    if name == "DiceLoss":
+        return DiceLoss(
+            weight=weight, normalization=loss_config.get("normalization", "sigmoid")
+        )
+    if name == "MSELoss":
+        return MSELoss()
+    if name == "SmoothL1Loss":
+        return SmoothL1Loss()
+    if name == "L1Loss":
+        return L1Loss()
+    if name == "WeightedSmoothL1Loss":
+        return WeightedSmoothL1Loss(
+            threshold=loss_config["threshold"],
+            initial_weight=loss_config["initial_weight"],
+            apply_below_threshold=loss_config.get("apply_below_threshold", True),
+        )
+    if name == "SegmentationLoss":
+        return SegmentationLoss()
+    raise RuntimeError(f"Unsupported loss function: '{name}'")
+
+
+def get_loss_criterion(config: Dict[str, Any]) -> Loss:
+    """Build the loss from ``config['loss']`` (reference losses.py:273-306).
+
+    Wrapper composition parity: ``ignore_index`` wraps non-CE losses in
+    MaskingLossWrapper; ``skip_last_target`` adds SkipLastTargetChannelWrapper.
+    (The reference's trailing ``.cuda()`` has no analog — JAX losses are
+    device-agnostic traced functions.)
+    """
+    assert "loss" in config, "Could not find loss function configuration"
+    loss_config = dict(config["loss"])
+    name = loss_config.pop("name")
+
+    ignore_index = loss_config.pop("ignore_index", None)
+    skip_last_target = loss_config.pop("skip_last_target", False)
+    weight = loss_config.pop("weight", None)
+    if weight is not None:
+        weight = jnp.asarray(weight)
+    pos_weight = loss_config.pop("pos_weight", None)
+    if pos_weight is not None:
+        pos_weight = jnp.asarray(pos_weight)
+
+    loss = _create_loss(name, loss_config, weight, ignore_index, pos_weight)
+
+    if not (
+        ignore_index is None
+        or name in ["CrossEntropyLoss", "WeightedCrossEntropyLoss"]
+    ):
+        loss = MaskingLossWrapper(loss, ignore_index)
+    if skip_last_target:
+        loss = SkipLastTargetChannelWrapper(
+            loss, loss_config.get("squeeze_channel", False)
+        )
+    return loss

@@ -1,0 +1,250 @@
+"""Image-space ops with PyTorch-parity semantics, laid out for TPU.
+
+All ops take channels-last arrays (NHWC / NDHWC) — the native TPU conv layout —
+and are shape-static so XLA can tile them onto the VPU/MXU.
+
+Parity notes (the cross-framework traps called out in SURVEY.md §7):
+
+- ``max_pool2d(..., ceil_mode=True)`` matches ``nn.MaxPool2d(k, s, ceil_mode=True)``
+  (reference model/unet2d/unet.py:175-187): the input is virtually padded on the
+  high side with -inf so tail windows are kept; torch additionally drops a tail
+  window that would start entirely in the padding — replicated here.
+- ``upsample_bilinear2d(..., align_corners=False)`` matches
+  ``nn.Upsample(mode="bilinear")`` (unet.py:198-315);
+  ``align_corners=True`` matches ``nn.UpsamplingBilinear2d`` (layers.py:58,85).
+  Both are implemented as separable 1-D interpolation matmuls, which XLA maps
+  onto the MXU instead of gather pipelines.
+- ``center_crop`` matches ``torchvision.transforms.functional.center_crop``
+  (layers.py:171-192) including the odd-remainder rounding.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+IntOrSeq = Union[int, Sequence[int]]
+
+
+def _tuplify(v: IntOrSeq, n: int) -> Tuple[int, ...]:
+    if isinstance(v, int):
+        return (n * (v,))
+    t = tuple(v)
+    assert len(t) == n, (v, n)
+    return t
+
+
+# ---------------------------------------------------------------------------
+# Pooling
+# ---------------------------------------------------------------------------
+
+
+def max_pool_nd(
+    x: jax.Array,
+    window: IntOrSeq,
+    stride: IntOrSeq | None = None,
+    *,
+    ceil_mode: bool = False,
+) -> jax.Array:
+    """Max pool over the spatial dims of a channels-last array (N, *spatial, C).
+
+    Torch-parity: ``nn.MaxPool{2,3}d(window, stride, ceil_mode=ceil_mode)`` with
+    zero padding.  With ``ceil_mode=True`` tail windows are included unless they
+    would start entirely beyond the (unpadded) input — torch's documented rule.
+    """
+    nsp = x.ndim - 2
+    win = _tuplify(window, nsp)
+    strd = _tuplify(stride if stride is not None else window, nsp)
+
+    pads = []
+    for size, w, s in zip(x.shape[1:-1], win, strd):
+        if ceil_mode:
+            out = -(-(size - w) // s) + 1  # ceil
+            # torch: last window must start inside the input (not in padding)
+            if (out - 1) * s >= size:
+                out -= 1
+        else:
+            out = (size - w) // s + 1
+        pad_hi = max(0, (out - 1) * s + w - size)
+        pads.append((0, pad_hi))
+
+    if x.dtype == jnp.bool_:
+        x = x.astype(jnp.int8)
+    init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return lax.reduce_window(
+        x,
+        init,
+        lax.max,
+        window_dimensions=(1, *win, 1),
+        window_strides=(1, *strd, 1),
+        padding=((0, 0), *pads, (0, 0)),
+    )
+
+
+max_pool2d = max_pool_nd
+
+
+def avg_pool_nd(
+    x: jax.Array,
+    window: IntOrSeq,
+    stride: IntOrSeq | None = None,
+) -> jax.Array:
+    """Average pool (no padding), torch ``nn.AvgPool{2,3}d`` parity."""
+    nsp = x.ndim - 2
+    win = _tuplify(window, nsp)
+    strd = _tuplify(stride if stride is not None else window, nsp)
+    summed = lax.reduce_window(
+        x,
+        jnp.zeros((), x.dtype),
+        lax.add,
+        window_dimensions=(1, *win, 1),
+        window_strides=(1, *strd, 1),
+        padding="VALID",
+    )
+    return summed / np.prod(win)
+
+
+# ---------------------------------------------------------------------------
+# Resize / upsample (separable interpolation matmuls — MXU-friendly)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=256)
+def _linear_resize_matrix(
+    in_size: int, out_size: int, align_corners: bool
+) -> np.ndarray:
+    """(out_size, in_size) row-stochastic bilinear interpolation matrix.
+
+    align_corners=False: source coordinate = (i + 0.5) * in/out - 0.5, clamped
+    (torch ``nn.Upsample(mode='bilinear', align_corners=False)``).
+    align_corners=True: source = i * (in-1)/(out-1)
+    (torch ``nn.UpsamplingBilinear2d``).
+    """
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    if in_size == 1:
+        m[:, 0] = 1.0
+        return m
+    for i in range(out_size):
+        if align_corners:
+            src = i * (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
+        else:
+            src = (i + 0.5) * in_size / out_size - 0.5
+            src = min(max(src, 0.0), in_size - 1)
+        lo = int(np.floor(src))
+        hi = min(lo + 1, in_size - 1)
+        frac = src - lo
+        m[i, lo] += 1.0 - frac
+        m[i, hi] += frac
+    return m
+
+
+@functools.lru_cache(maxsize=256)
+def _nearest_resize_index(in_size: int, out_size: int) -> np.ndarray:
+    """Index map for torch ``nn.Upsample(mode='nearest')`` / F.interpolate nearest:
+    src = floor(i * in / out)."""
+    return np.minimum(
+        (np.arange(out_size) * in_size // out_size), in_size - 1
+    ).astype(np.int32)
+
+
+def resize_bilinear(
+    x: jax.Array, out_spatial: Sequence[int], *, align_corners: bool = False
+) -> jax.Array:
+    """Bilinear resize of a channels-last array (N, *spatial, C) to `out_spatial`.
+
+    Implemented as one 1-D interpolation matmul per spatial axis so XLA lowers
+    it to MXU matmuls (a gather-free formulation; for ×2..×16 upsamples the
+    matrices are tiny and fuse with the surrounding convs).
+    Supports 2 or 3 spatial dims (trilinear for 3).
+    """
+    nsp = x.ndim - 2
+    out_spatial = tuple(out_spatial)
+    assert len(out_spatial) == nsp
+    orig_dtype = x.dtype
+    y = x.astype(jnp.float32) if x.dtype != jnp.float32 else x
+    for axis_i, out_size in enumerate(out_spatial):
+        axis = 1 + axis_i
+        in_size = y.shape[axis]
+        if in_size == out_size:
+            continue
+        mat = jnp.asarray(_linear_resize_matrix(in_size, out_size, align_corners))
+        y = jnp.tensordot(mat, y, axes=[[1], [axis]])  # out axis to front
+        y = jnp.moveaxis(y, 0, axis)
+    return y.astype(orig_dtype)
+
+
+def upsample_bilinear2d(
+    x: jax.Array, scale: int, *, align_corners: bool = False
+) -> jax.Array:
+    """`nn.Upsample(scale_factor=scale, mode='bilinear')` parity for NHWC."""
+    n, h, w, c = x.shape
+    return resize_bilinear(x, (h * scale, w * scale), align_corners=align_corners)
+
+
+def interpolate_nearest_nd(x: jax.Array, out_spatial: Sequence[int]) -> jax.Array:
+    """Torch ``F.interpolate(mode='nearest')`` parity for channels-last arrays.
+
+    Used by the 3D decoders' InterpolateUpsampling
+    (reference model/unet3d/buildingblocks.py:642-687).
+    """
+    nsp = x.ndim - 2
+    out_spatial = tuple(out_spatial)
+    assert len(out_spatial) == nsp
+    y = x
+    for axis_i, out_size in enumerate(out_spatial):
+        axis = 1 + axis_i
+        in_size = y.shape[axis]
+        if in_size == out_size:
+            continue
+        idx = jnp.asarray(_nearest_resize_index(in_size, out_size))
+        y = jnp.take(y, idx, axis=axis)
+    return y
+
+
+def upsample_nearest(x: jax.Array, scale: int) -> jax.Array:
+    """Integer-factor nearest upsampling of all spatial dims (channels-last)."""
+    spatial = tuple(s * scale for s in x.shape[1:-1])
+    return interpolate_nearest_nd(x, spatial)
+
+
+# ---------------------------------------------------------------------------
+# Crop / concat
+# ---------------------------------------------------------------------------
+
+
+def center_crop(x: jax.Array, out_spatial: Sequence[int]) -> jax.Array:
+    """Center-crop spatial dims of a channels-last array.
+
+    Torchvision parity (used by CropAndConcat, reference
+    model/unet2d/layers.py:171-192): crop offset = round((in - out) / 2) with
+    banker's-free torch semantics (// 2 after int truncation); pads with zeros
+    if the requested size is larger.
+    """
+    nsp = x.ndim - 2
+    out_spatial = tuple(out_spatial)
+    assert len(out_spatial) == nsp
+    pads = [(0, 0)]
+    slices = [slice(None)]
+    need_pad = False
+    for in_size, out_size in zip(x.shape[1:-1], out_spatial):
+        if out_size > in_size:
+            lo = (out_size - in_size + 1) // 2
+            pads.append((lo, out_size - in_size - lo))
+            slices.append(slice(None))
+            need_pad = True
+        else:
+            # torchvision: crop_top = int(round((in - out) / 2.)) — banker's
+            # rounding, which Python's round() reproduces.
+            off = int(round((in_size - out_size) / 2.0))
+            pads.append((0, 0))
+            slices.append(slice(off, off + out_size))
+    pads.append((0, 0))
+    slices.append(slice(None))
+    if need_pad:
+        x = jnp.pad(x, pads)
+    return x[tuple(slices)]

@@ -1,0 +1,129 @@
+"""Weight initializers with PyTorch-parity statistics for Flax kernels.
+
+The reference dispatches initializers by module-class-name substring
+(model/unet2d/init_weights.py:5-64): Conv/Linear weights get one of
+normal(0, 0.02) / xavier-normal / kaiming-normal(fan_in, a=0) / orthogonal,
+and norm scales get N(1.0, 0.02) with zero bias.  Modules that never call
+``init_weights`` (the classic UNet's DoubleConvolution/UpSample/final_conv,
+reference model/unet2d/layers.py:103-168) keep torch's Conv2d default:
+kaiming-uniform with a=sqrt(5), i.e. U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for
+both weight and bias.
+
+Flax conv kernels are HWIO (or DHWIO); fan_in = prod(kernel spatial) * I which
+matches torch's fan_in for convs, so the same formulas apply directly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.nn.initializers import Initializer
+
+
+def _fan_in(shape) -> int:
+    # Conv kernels (..., I, O): fan_in over all but the last dim.
+    # Dense kernels (I, O): same rule.
+    receptive = 1
+    for s in shape[:-2]:
+        receptive *= s
+    return receptive * shape[-2]
+
+
+def _fan_out(shape) -> int:
+    receptive = 1
+    for s in shape[:-2]:
+        receptive *= s
+    return receptive * shape[-1]
+
+
+def normal_002() -> Initializer:
+    """torch ``init.normal_(w, 0.0, 0.02)`` (init_weights 'normal')."""
+
+    def init(key, shape, dtype=jnp.float32):
+        return 0.02 * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
+def xavier_normal(gain: float = 1.0) -> Initializer:
+    """torch ``init.xavier_normal_(w, gain)``: std = gain*sqrt(2/(fan_in+fan_out))."""
+
+    def init(key, shape, dtype=jnp.float32):
+        std = gain * math.sqrt(2.0 / (_fan_in(shape) + _fan_out(shape)))
+        return std * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
+def kaiming_normal(a: float = 0.0) -> Initializer:
+    """torch ``init.kaiming_normal_(w, a=a, mode='fan_in')`` (leaky_relu gain)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        gain = math.sqrt(2.0 / (1.0 + a * a))
+        std = gain / math.sqrt(_fan_in(shape))
+        return std * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
+def orthogonal(gain: float = 1.0) -> Initializer:
+    """torch ``init.orthogonal_`` parity: orthogonalize the (O, fan_in) matrix."""
+
+    def init(key, shape, dtype=jnp.float32):
+        # torch flattens to (rows=O, cols=fan_in); jax orthogonal over last axis.
+        flat = (_fan_in(shape), shape[-1])
+        q = jax.nn.initializers.orthogonal(scale=gain, column_axis=-1)(
+            key, flat, dtype
+        )
+        return q.reshape(shape)
+
+    return init
+
+
+def torch_conv_default_kernel() -> Initializer:
+    """torch Conv default: kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in))."""
+
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / math.sqrt(_fan_in(shape))
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def torch_conv_default_bias(fan_in: int) -> Initializer:
+    """torch Conv default bias: U(±1/sqrt(fan_in)) with the *kernel's* fan_in."""
+
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / math.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def norm_scale_002() -> Initializer:
+    """Norm scale ~ N(1.0, 0.02) (init_weights BatchNorm branch)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        return 1.0 + 0.02 * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
+INIT_TYPES = {
+    "normal": normal_002,
+    "xavier": xavier_normal,
+    "kaiming": kaiming_normal,
+    "orthogonal": orthogonal,
+}
+
+
+def conv_kernel_init(init_type: str) -> Initializer:
+    """Map the reference's ``init_type`` strings to a kernel initializer."""
+    try:
+        return INIT_TYPES[init_type]()
+    except KeyError:
+        raise NotImplementedError(
+            f"initialization method [{init_type}] is not implemented"
+        ) from None

@@ -1,0 +1,369 @@
+"""HF-Trainer-shaped 2D training runtime, pjit data-parallel.
+
+Reference call stack being rebuilt (SURVEY.md §3.1): ``CustomTrainer``
+(/root/reference/trainer/MYtrainer.py:6-11) subclasses ``transformers.Trainer``
+and trains ``UNetModel`` with ``TrainingArguments`` built from the CLI flags
+(/root/reference/train.py:17-137).  This module provides the same surface —
+``TrainingArguments`` (same flag names/defaults as train.py), ``Trainer`` with
+``train()`` / ``evaluate()`` / ``save_model()``, ``compute_metrics`` hook and
+callbacks — implemented as a single jitted train step over a device mesh:
+
+- the batch is sharded over the mesh's ``data`` axis, parameters replicated;
+  XLA emits the gradient all-reduce over ICI (the DP replacement for
+  DataParallel / DDP);
+- train-time augmentation runs inside the step on device
+  (transforms.device2d), fused with normalization and the first conv;
+- the optimizer is AdamW with HF's linear warmup→linear decay schedule;
+- the whole TrainState is donated — parameter updates happen in-place in HBM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import shutil
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.collate import BatchLoader, SliceCollator
+from ..metrics.metrics2d import compute_metrics as default_compute_metrics
+from ..parallel import mesh as mesh_lib
+from ..transforms.device2d import Augment2DConfig, augment_batch
+from .callbacks import TrainerCallback, TrainerControl
+from .logging_utils import MetricWriter, get_logger
+from .train_state import TrainState, create_train_state
+
+logger = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class TrainingArguments:
+    """The reference CLI surface (train.py:17-137) as a dataclass.
+
+    Defaults mirror scripts/train.sh:4-41 where the reference pins values.
+    """
+
+    output_dir: str = "output"
+    eval_strategy: str = "steps"  # "no" | "steps" | "epoch"
+    eval_steps: int = 100
+    logging_steps: int = 100
+    num_train_epochs: float = 5000
+    max_steps: int = -1  # >0 overrides epochs
+    per_device_train_batch_size: int = 5
+    per_device_eval_batch_size: int = 5
+    save_steps: int = 1000
+    save_total_limit: int = 5
+    warmup_ratio: float = 0.001
+    learning_rate: float = 0.005
+    weight_decay: float = 0.001
+    metric_for_best_model: str = "iou"
+    greater_is_better: bool = True
+    seed: int = 42
+    augment: bool = True
+    eval_threshold: Optional[float] = None  # None → reference mean-threshold
+    plot_eval: bool = False  # reference dumps output.png every eval
+    log_dir: Optional[str] = None
+    bf16: bool = False
+
+
+@dataclasses.dataclass
+class TrainOutput:
+    global_step: int
+    training_loss: float
+    metrics: Dict[str, float]
+
+
+class Trainer:
+    """Data-parallel trainer for the 2D model bundles (UNetModel)."""
+
+    def __init__(
+        self,
+        model,
+        args: TrainingArguments,
+        train_dataset=None,
+        eval_dataset=None,
+        data_collator: Optional[SliceCollator] = None,
+        compute_metrics: Optional[Callable] = None,
+        callbacks: Optional[List[TrainerCallback]] = None,
+        mesh=None,
+    ):
+        self.model = model
+        self.args = args
+        self.train_dataset = train_dataset
+        self.eval_dataset = eval_dataset
+        self.data_collator = data_collator or SliceCollator()
+        self.compute_metrics = compute_metrics
+        self.callbacks = callbacks or []
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.control = TrainerControl()
+        self.writer = MetricWriter(
+            args.log_dir or os.path.join(args.output_dir, "logs")
+        )
+        self.state: Optional[TrainState] = None
+        self._saved_checkpoints: List[str] = []
+        self.best_metric: Optional[float] = None
+
+        n_data = self.mesh.shape[mesh_lib.DATA_AXIS]
+        self.train_batch = args.per_device_train_batch_size * n_data
+        self.eval_batch = args.per_device_eval_batch_size * n_data
+
+        self._train_step = None
+        self._eval_step = None
+        self._optimizer = None
+
+    # -- setup ---------------------------------------------------------------
+
+    def _num_train_steps(self) -> int:
+        if self.args.max_steps > 0:
+            return self.args.max_steps
+        steps_per_epoch = max(len(self.train_dataset) // self.train_batch, 1)
+        return int(self.args.num_train_epochs * steps_per_epoch)
+
+    def _build_optimizer(self, total_steps: int) -> optax.GradientTransformation:
+        warmup = int(self.args.warmup_ratio * total_steps)
+        schedule = optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, self.args.learning_rate, max(warmup, 1)),
+                optax.linear_schedule(
+                    self.args.learning_rate, 0.0, max(total_steps - warmup, 1)
+                ),
+            ],
+            [max(warmup, 1)],
+        )
+        return optax.adamw(
+            schedule, b1=0.9, b2=0.999, eps=1e-8,
+            weight_decay=self.args.weight_decay,
+        )
+
+    def _init_state(self, sample_images: np.ndarray, total_steps: int):
+        self._optimizer = self._build_optimizer(total_steps)
+        rng = jax.random.PRNGKey(self.args.seed)
+        with self.mesh:
+            state = create_train_state(
+                self.model, rng, jnp.asarray(sample_images), self._optimizer
+            )
+        self.state = mesh_lib.replicate(self.mesh, state)
+        self._has_bn = bool(self.state.batch_stats)
+
+    def _compile_steps(self):
+        model, optimizer = self.model, self._optimizer
+        has_bn = self._has_bn
+        augment = self.args.augment
+        aug_cfg = Augment2DConfig()
+
+        def train_step(state: TrainState, batch, rng):
+            step_rng = jax.random.fold_in(rng, state.step)
+            aug_rng, drop_rng = jax.random.split(step_rng)
+            # bf16 compute is governed by the model's compute_dtype
+            # (UNetConfig.compute_dtype) — params and loss stay fp32.
+            images = batch["images"]
+            labels = batch["labels"]
+            if augment:
+                images, labels = augment_batch(aug_rng, images, labels, aug_cfg)
+
+            def loss_fn(params):
+                variables = {"params": params}
+                if has_bn:
+                    variables["batch_stats"] = state.batch_stats
+                    (out, mutated) = model.apply(
+                        variables, images, labels, train=True,
+                        rngs={"dropout": drop_rng}, mutable=["batch_stats"],
+                    )
+                    return out.loss, mutated["batch_stats"]
+                out = model.apply(
+                    variables, images, labels, train=True,
+                    rngs={"dropout": drop_rng},
+                )
+                return out.loss, state.batch_stats
+
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_bs,
+                opt_state=new_opt,
+            )
+            return new_state, loss
+
+        def eval_step(state: TrainState, batch):
+            variables = {"params": state.params}
+            if has_bn:
+                variables["batch_stats"] = state.batch_stats
+            out = model.apply(
+                variables, batch["images"], batch["labels"], train=False
+            )
+            return out.logits, out.loss
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._eval_step = jax.jit(eval_step)
+
+    # -- public API ----------------------------------------------------------
+
+    def train(self) -> TrainOutput:
+        assert self.train_dataset is not None, "no train_dataset"
+        total_steps = self._num_train_steps()
+        loader = BatchLoader(
+            self.train_dataset,
+            self.train_batch,
+            shuffle=True,
+            seed=self.args.seed,
+            collator=self.data_collator,
+        )
+        first = next(iter(loader))
+        if self.state is None:
+            self._init_state(first["images"], total_steps)
+            self._compile_steps()
+
+        rng = jax.random.PRNGKey(self.args.seed + 1)
+        rng = mesh_lib.replicate(self.mesh, rng)
+        loss_acc, loss_n = 0.0, 0
+        total_loss, total_n = 0.0, 0
+        global_step = int(jax.device_get(self.state.step))
+        t_start = time.time()
+        steps_per_epoch = max(len(loader), 1)
+
+        logger.info(
+            f"***** training: {total_steps} steps, global batch "
+            f"{self.train_batch} on {self.mesh.shape} mesh *****"
+        )
+        done = False
+        while not done:
+            for batch in loader:
+                sharded = mesh_lib.shard_batch(self.mesh, batch)
+                self.state, loss = self._train_step(self.state, sharded, rng)
+                global_step += 1
+
+                if self.args.logging_steps and global_step % self.args.logging_steps == 0:
+                    loss_v = float(jax.device_get(loss))
+                    loss_acc += loss_v
+                    loss_n += 1
+                    total_loss += loss_v
+                    total_n += 1
+                    elapsed = time.time() - t_start
+                    logs = {
+                        "loss": loss_acc / loss_n,
+                        "step": global_step,
+                        "steps_per_sec": global_step / elapsed,
+                        "samples_per_sec": global_step * self.train_batch / elapsed,
+                    }
+                    self.writer.scalars(
+                        {"train/loss": logs["loss"],
+                         "train/samples_per_sec": logs["samples_per_sec"]},
+                        global_step,
+                    )
+                    logger.info(f"step {global_step}: {logs}")
+                    loss_acc, loss_n = 0.0, 0
+                    for cb in self.callbacks:
+                        cb.on_log(self.args, self.state, self.control, logs)
+
+                if (
+                    self.args.eval_strategy == "steps"
+                    and self.args.eval_steps
+                    and global_step % self.args.eval_steps == 0
+                    and self.eval_dataset is not None
+                ):
+                    self.evaluate()
+
+                if self.args.save_steps and global_step % self.args.save_steps == 0:
+                    self._save_checkpoint(global_step)
+
+                if self.control.should_save:
+                    self.control.should_save = False
+                    self.save_model()
+
+                if global_step >= total_steps or self.control.should_stop:
+                    done = True
+                    break
+            if self.args.eval_strategy == "epoch" and self.eval_dataset is not None:
+                self.evaluate()
+
+        train_loss = total_loss / max(total_n, 1)
+        return TrainOutput(global_step, train_loss, {"train_loss": train_loss})
+
+    def evaluate(self, eval_dataset=None) -> Dict[str, float]:
+        dataset = eval_dataset or self.eval_dataset
+        assert dataset is not None, "no eval_dataset"
+        if self.state is None:
+            loader0 = BatchLoader(dataset, self.eval_batch, collator=self.data_collator)
+            first = next(iter(loader0))
+            self._init_state(first["images"], max(self._num_train_steps(), 1))
+            self._compile_steps()
+
+        loader = BatchLoader(
+            dataset, self.eval_batch, shuffle=False, collator=self.data_collator
+        )
+        all_logits, all_labels, losses = [], [], []
+        n_remaining = len(dataset)
+        for batch in loader:
+            sharded = mesh_lib.shard_batch(self.mesh, batch)
+            logits, loss = self._eval_step(self.state, sharded)
+            take = min(n_remaining, logits.shape[0])  # unpad wrapped tail
+            all_logits.append(np.asarray(jax.device_get(logits))[:take])
+            all_labels.append(batch["labels"][:take])
+            losses.append(float(jax.device_get(loss)))
+            n_remaining -= take
+
+        logits = np.concatenate(all_logits, axis=0)
+        labels = np.concatenate(all_labels, axis=0)
+        if self.compute_metrics is not None:
+            metrics = self.compute_metrics(logits, labels)
+        else:
+            plot = (
+                os.path.join(self.args.output_dir, "output.png")
+                if self.args.plot_eval
+                else None
+            )
+            metrics = default_compute_metrics(
+                logits, labels, threshold=self.args.eval_threshold, plot_path=plot
+            )
+        metrics = {f"eval_{k}": v for k, v in metrics.items()}
+        metrics["eval_loss"] = float(np.mean(losses)) if losses else float("nan")
+
+        step = int(jax.device_get(self.state.step))
+        self.writer.scalars(metrics, step)
+        logger.info(f"eval @ {step}: {metrics}")
+
+        key = f"eval_{self.args.metric_for_best_model}"
+        if key in metrics:
+            value = metrics[key]
+            better = (
+                self.best_metric is None
+                or (value > self.best_metric) == self.args.greater_is_better
+            )
+            if better:
+                self.best_metric = value
+        for cb in self.callbacks:
+            cb.on_evaluate(self.args, self.state, self.control, metrics)
+        return metrics
+
+    # -- persistence ---------------------------------------------------------
+
+    def save_model(self, path: Optional[str] = None):
+        path = path or self.args.output_dir
+        variables = jax.device_get(self.state.variables)
+        self.model.save_pretrained(path, variables)
+        logger.info(f"model saved to {path}")
+
+    def _save_checkpoint(self, step: int):
+        path = os.path.join(self.args.output_dir, f"checkpoint-{step}")
+        self.save_model(path)
+        self._saved_checkpoints.append(path)
+        limit = self.args.save_total_limit
+        while limit and len(self._saved_checkpoints) > limit:
+            victim = self._saved_checkpoints.pop(0)
+            shutil.rmtree(victim, ignore_errors=True)
+
+
+class CustomTrainer(Trainer):
+    """Name-parity alias for the reference's trainer subclass
+    (trainer/MYtrainer.py:6-11) — the loss-from-outputs behavior is already
+    the default here."""

@@ -1,0 +1,112 @@
+"""End-to-end 2D trainer on the 8-device CPU mesh: loss goes down, eval/
+checkpoint/best-callback machinery works, checkpoint rotation respected.
+This is the multi-device data-parallel test (SURVEY.md §4c)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from mdeical_image_segmentation_tpu.data import SyntheticSliceDataset
+from mdeical_image_segmentation_tpu.models import UNetConfig, UNetModel
+from mdeical_image_segmentation_tpu.train import (
+    BestIoUCallback,
+    Trainer,
+    TrainingArguments,
+)
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("train_out"))
+    train_ds = SyntheticSliceDataset(n_samples=32, resolution=32)
+    eval_ds = SyntheticSliceDataset(n_samples=8, resolution=32, seed=9)
+    model = UNetModel(
+        UNetConfig(in_channels=1, out_channels=1, unet_type="UNet", base_features=4)
+    )
+    args = TrainingArguments(
+        output_dir=out,
+        max_steps=24,
+        per_device_train_batch_size=1,
+        per_device_eval_batch_size=1,
+        eval_steps=12,
+        logging_steps=6,
+        save_steps=8,
+        save_total_limit=2,
+        learning_rate=3e-3,
+        eval_threshold=0.5,
+    )
+    trainer = Trainer(model, args, train_ds, eval_ds, callbacks=[BestIoUCallback()])
+    result = trainer.train()
+    return trainer, result, out
+
+
+def test_uses_all_devices(trained):
+    trainer, _, _ = trained
+    assert trainer.mesh.devices.size == len(jax.devices())
+
+
+def test_runs_to_completion(trained):
+    _, result, _ = trained
+    assert result.global_step == 24
+    assert np.isfinite(result.training_loss)
+
+
+def test_checkpoint_rotation(trained):
+    _, _, out = trained
+    ckpts = sorted(d for d in os.listdir(out) if d.startswith("checkpoint-"))
+    assert len(ckpts) == 2  # save_total_limit
+    assert "checkpoint-24" in ckpts and "checkpoint-16" in ckpts
+
+
+def test_eval_metrics_present(trained):
+    trainer, _, _ = trained
+    metrics = trainer.evaluate()
+    assert {"eval_iou", "eval_dice", "eval_loss"} <= set(metrics)
+
+
+def test_best_model_saved(trained):
+    _, _, out = trained
+    # BestIoUCallback triggers save_model to output_dir on improvement
+    assert os.path.exists(os.path.join(out, "config.json"))
+    assert os.path.exists(os.path.join(out, "params.msgpack"))
+
+
+def test_metrics_logged(trained):
+    _, _, out = trained
+    assert os.path.exists(os.path.join(out, "logs", "metrics.jsonl"))
+
+
+def test_training_reduces_loss():
+    """Separate short run asserting optimization progress on an easy task."""
+    train_ds = SyntheticSliceDataset(n_samples=32, resolution=32)
+    model = UNetModel(
+        UNetConfig(in_channels=1, out_channels=1, unet_type="UNet", base_features=4)
+    )
+    args = TrainingArguments(
+        output_dir="/tmp/tpuseg_losscheck",
+        max_steps=40,
+        per_device_train_batch_size=1,
+        eval_strategy="no",
+        logging_steps=0,
+        save_steps=0,
+        learning_rate=3e-3,
+        augment=False,
+    )
+    trainer = Trainer(model, args, train_ds)
+    trainer.train()
+
+    # loss at step ~40 must beat the untrained loss on the same batch
+    import jax.numpy as jnp
+    from mdeical_image_segmentation_tpu.data import BatchLoader
+
+    batch = next(iter(BatchLoader(train_ds, 8, prefetch=0)))
+    out_final = model.apply(
+        jax.device_get(trainer.state.variables),
+        jnp.asarray(batch["images"]),
+        jnp.asarray(batch["labels"]),
+        train=False,
+    )
+    assert float(out_final.loss) < 0.55  # untrained BCE ≈ 0.69
