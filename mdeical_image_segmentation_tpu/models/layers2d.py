@@ -51,7 +51,7 @@ class TorchConv(nn.Module):
 
     features: int
     kernel_size: Sequence[int] = (3, 3)
-    strides: Sequence[int] = (1, 1)
+    strides: Optional[Sequence[int]] = None  # None → all-ones, any rank
     padding: Any = "SAME"
     use_bias: bool = True
     kernel_init: KernelInit = "torch_default"
@@ -60,11 +60,12 @@ class TorchConv(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         ks = tuple(self.kernel_size)
+        strides = tuple(self.strides) if self.strides else (1,) * len(ks)
         fan_in = math.prod(ks) * x.shape[-1]
         return nn.Conv(
             features=self.features,
             kernel_size=ks,
-            strides=tuple(self.strides),
+            strides=strides,
             padding=self.padding,
             use_bias=self.use_bias,
             kernel_init=_resolve_kernel_init(self.kernel_init),
