@@ -1,0 +1,211 @@
+"""Config-driven loader assembly for the volumetric pipeline.
+
+Reference: get_train_loaders / get_test_loaders / default_prediction_collate
+(/root/reference/dataset/unet3d_dataset/utils.py:182-287).  torch DataLoader
+is replaced by a torchless ``VolumeLoader``: deterministic shuffling, tuple
+collation to stacked numpy arrays, and a daemon-thread prefetch queue (the
+host-side parallelism that replaces DataLoader worker processes — patches are
+assembled while the device is busy with the previous step).
+
+Batch-size semantics: the reference multiplies batch_size by the GPU count
+under DataParallel (utils.py:214-217); here the equivalent scale-out knob is
+the mesh's data-axis size, applied by the caller (trainer3d) — the loaders
+take the final global batch size.
+"""
+
+from __future__ import annotations
+
+import collections.abc
+import queue
+import threading
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..configs.registry import Registry
+from ..train.logging_utils import get_logger
+
+logger = get_logger("Dataset")
+
+DATASETS = Registry("dataset")
+
+
+def _register_builtin_datasets():
+    from .dsb import DSB2018Dataset
+    from .hdf5 import LazyHDF5Dataset, StandardHDF5Dataset
+
+    for cls in (StandardHDF5Dataset, LazyHDF5Dataset, DSB2018Dataset):
+        if cls.__name__ not in DATASETS:
+            DATASETS.register(cls.__name__)(cls)
+
+
+class ConcatDataset:
+    """Concatenation of indexable datasets (torch ConcatDataset equivalent)."""
+
+    def __init__(self, datasets: Sequence[Any]):
+        assert len(datasets) > 0, "datasets should not be an empty iterable"
+        self.datasets = list(datasets)
+        self.cumulative_sizes = np.cumsum([len(d) for d in self.datasets])
+
+    def __len__(self) -> int:
+        return int(self.cumulative_sizes[-1])
+
+    def __getitem__(self, idx: int):
+        dataset_idx = int(np.searchsorted(self.cumulative_sizes, idx, side="right"))
+        sample_idx = idx - (
+            0 if dataset_idx == 0 else int(self.cumulative_sizes[dataset_idx - 1])
+        )
+        return self.datasets[dataset_idx][sample_idx]
+
+
+def default_prediction_collate(batch):
+    """Collate arrays / slice-tuples / sequences (reference utils.py:274-287)."""
+    error_msg = "batch must contain arrays or slice; found {}"
+    if isinstance(batch[0], np.ndarray):
+        return np.stack(batch, 0)
+    if isinstance(batch[0], tuple) and isinstance(batch[0][0], slice):
+        return batch
+    if isinstance(batch[0], collections.abc.Sequence):
+        transposed = zip(*batch)
+        return [default_prediction_collate(samples) for samples in transposed]
+    raise TypeError(error_msg.format(type(batch[0])))
+
+
+class VolumeLoader:
+    """Minimal DataLoader over tuple-sample datasets with thread prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 1,
+        *,
+        shuffle: bool = False,
+        seed: int = 0,
+        collate_fn: Callable = default_prediction_collate,
+        prefetch: int = 2,
+        drop_last: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.collate_fn = collate_fn
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Any]:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self._epoch)
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        self._epoch += 1
+        batches = [
+            order[i : i + self.batch_size] for i in range(0, n, self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+
+        def assemble(idx):
+            return self.collate_fn([self.dataset[int(i)] for i in idx])
+
+        if self.prefetch <= 0:
+            for idx in batches:
+                yield assemble(idx)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for idx in batches:
+                    q.put(assemble(idx))
+            finally:
+                q.put(stop)
+
+        threading.Thread(target=producer, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+def _dataset_class(loaders_config: Dict[str, Any]):
+    _register_builtin_datasets()
+    name = loaders_config.get("dataset")
+    if name is None:
+        name = "StandardHDF5Dataset"
+        logger.warning(
+            f"Cannot find dataset class in the config. Using default '{name}'."
+        )
+    return DATASETS.get(name)
+
+
+def get_train_loaders(config: Dict[str, Any], n_devices: int = 1) -> Dict[str, VolumeLoader]:
+    """{'train': loader, 'val': loader} (reference utils.py:182-227).
+
+    ``n_devices`` plays the role of the reference's GPU count: the global
+    batch is batch_size × n_devices.
+    """
+    assert "loaders" in config, "Could not find data loaders configuration"
+    loaders_config = config["loaders"]
+    logger.info("Creating training and validation set loaders...")
+    dataset_class = _dataset_class(loaders_config)
+
+    assert set(loaders_config["train"]["file_paths"]).isdisjoint(
+        loaders_config["val"]["file_paths"]
+    ), "Train and validation 'file_paths' overlap. One cannot use validation data for training!"
+
+    train_datasets = dataset_class.create_datasets(loaders_config, phase="train")
+    val_datasets = dataset_class.create_datasets(loaders_config, phase="val")
+
+    batch_size = loaders_config.get("batch_size", 1)
+    if n_devices > 1:
+        logger.info(
+            f"{n_devices} devices available. Using batch_size = {n_devices} * {batch_size}"
+        )
+        batch_size = batch_size * n_devices
+    prefetch = loaders_config.get("num_workers", 1) and 2
+
+    return {
+        "train": VolumeLoader(
+            ConcatDataset(train_datasets), batch_size=batch_size, shuffle=True,
+            prefetch=prefetch, drop_last=True,
+        ),
+        "val": VolumeLoader(
+            ConcatDataset(val_datasets), batch_size=batch_size, shuffle=False,
+            prefetch=prefetch,
+        ),
+    }
+
+
+def get_test_loaders(config: Dict[str, Any], n_devices: int = 1) -> Iterator[VolumeLoader]:
+    """Generator of per-file test loaders (reference utils.py:230-271)."""
+    assert "loaders" in config, "Could not find data loaders configuration"
+    loaders_config = config["loaders"]
+    logger.info("Creating test set loaders...")
+    dataset_class = _dataset_class(loaders_config)
+
+    test_datasets = dataset_class.create_datasets(loaders_config, phase="test")
+    batch_size = loaders_config.get("batch_size", 1)
+    if n_devices > 1:
+        batch_size = batch_size * n_devices
+
+    for test_dataset in test_datasets:
+        logger.info(f"Loading test set from: {test_dataset.file_path}...")
+        collate_fn = getattr(
+            test_dataset, "prediction_collate", default_prediction_collate
+        )
+        yield VolumeLoader(
+            test_dataset, batch_size=batch_size, collate_fn=collate_fn
+        )
