@@ -97,7 +97,10 @@ class VolumeLoader:
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.drop_last:
-            return n // self.batch_size
+            # static-shape mode: a short tail (or a dataset smaller than one
+            # batch) is wrap-padded rather than dropped, so there is always
+            # at least one batch
+            return max(n // self.batch_size, 1) if n else 0
         return -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[Any]:
@@ -112,7 +115,13 @@ class VolumeLoader:
             order[i : i + self.batch_size] for i in range(0, n, self.batch_size)
         ]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
-            batches.pop()
+            if len(batches) > 1:
+                batches.pop()
+            else:
+                # dataset smaller than one global batch: wrap-pad to keep
+                # static shapes instead of yielding nothing
+                reps = -(-self.batch_size // n)
+                batches[0] = np.tile(order, reps)[: self.batch_size]
 
         def assemble(idx):
             return self.collate_fn([self.dataset[int(i)] for i in idx])

@@ -7,6 +7,8 @@ from .optimizers import (
 )
 from .train_state import TrainState, create_train_state
 from .trainer2d import CustomTrainer, Trainer, TrainingArguments, TrainOutput
+from .trainer3d import UNetTrainer, create_trainer
+from .checkpoint import load_checkpoint, save_checkpoint, save_network_output
 from .logging_utils import (
     MetricWriter,
     RunningAverage,
@@ -29,6 +31,11 @@ __all__ = [
     "Trainer",
     "TrainingArguments",
     "TrainOutput",
+    "UNetTrainer",
+    "create_trainer",
+    "load_checkpoint",
+    "save_checkpoint",
+    "save_network_output",
     "MetricWriter",
     "RunningAverage",
     "TensorboardFormatter",

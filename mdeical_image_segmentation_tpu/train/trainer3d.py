@@ -1,0 +1,508 @@
+"""Config-driven 3D training runtime (UNetTrainer semantics), pjit data-parallel.
+
+Reference: create_trainer / UNetTrainer (/root/reference/model/unet3d/trainer.py).
+The epoch/iteration loop semantics are preserved exactly:
+
+- ``fit()`` runs epochs up to ``max_num_epochs``; ``train()`` iterates the
+  train loader;
+- every ``validate_after_iters``: full validation, scheduler step
+  (ReduceLROnPlateau gets the eval score, others step blindly — the
+  reference's WARN about per-validation stepping applies), best-score
+  tracking, last/best checkpoint;
+- every ``log_after_iters``: train eval score with the final activation
+  applied (trainer.py:209-221), scalar + image logging;
+- stop when ``max_num_iterations`` is exceeded or lr < 1e-6 (trainer.py:239-254);
+- parity quirk preserved: validation scores the *raw logits* against the
+  target (trainer.py:272) while the train-metric path activates first.
+
+TPU-native execution: one jitted train step (fwd+bwd+optimizer, donated
+state) over a device mesh with the batch sharded on the data axis — XLA's
+all-reduce over ICI replaces nn.DataParallel (trainer.py:23-25).  The LR is
+injected into the optimizer state each step so host-side torch-style
+schedulers (optimizers.py) drive it without recompilation.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loaders import get_train_loaders
+from ..losses.losses3d import get_loss_criterion
+from ..metrics.metrics3d import get_evaluation_metric
+from ..models.unet3d import get_model
+from ..parallel import mesh as mesh_lib
+from . import checkpoint as ckpt
+from .logging_utils import (
+    MetricWriter,
+    RunningAverage,
+    get_logger,
+    get_tensorboard_formatter,
+)
+from .optimizers import ReduceLROnPlateau, create_lr_scheduler, create_optimizer
+
+logger = get_logger("UNetTrainer")
+
+
+def get_number_of_learnable_parameters(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+def create_trainer(config: Dict[str, Any]) -> "UNetTrainer":
+    """Assemble model/loss/metric/loaders/optimizer/scheduler/trainer from a
+    reference-shaped config (reference trainer.py:19-55)."""
+    model = get_model(config["model"])
+    mesh = mesh_lib.make_mesh()
+    n_data = mesh.shape[mesh_lib.DATA_AXIS]
+    if n_data > 1:
+        logger.info(f"Using {n_data} devices for training (data-parallel mesh)")
+
+    loss_criterion = get_loss_criterion(config)
+    eval_criterion = get_evaluation_metric(config)
+    loaders = get_train_loaders(config, n_devices=n_data)
+
+    optimizer_config = config["optimizer"]
+    optimizer = create_optimizer(optimizer_config)
+    base_lr = optimizer_config.get("learning_rate", 1e-3)
+    lr_scheduler = create_lr_scheduler(config.get("lr_scheduler", None), base_lr)
+
+    trainer_config = dict(config["trainer"])
+    tensorboard_formatter = get_tensorboard_formatter(
+        trainer_config.pop("tensorboard_formatter", None)
+    )
+    resume = trainer_config.pop("resume", None)
+    pre_trained = trainer_config.pop("pre_trained", None)
+
+    return UNetTrainer(
+        model=model,
+        optimizer=optimizer,
+        base_lr=base_lr,
+        lr_scheduler=lr_scheduler,
+        loss_criterion=loss_criterion,
+        eval_criterion=eval_criterion,
+        loaders=loaders,
+        tensorboard_formatter=tensorboard_formatter,
+        resume=resume,
+        pre_trained=pre_trained,
+        mesh=mesh,
+        seed=config.get("seed", 0),
+        **trainer_config,
+    )
+
+
+class UNetTrainer:
+    def __init__(
+        self,
+        model,
+        optimizer,
+        lr_scheduler,
+        loss_criterion,
+        eval_criterion,
+        loaders,
+        checkpoint_dir: str,
+        max_num_epochs: int,
+        max_num_iterations: int,
+        validate_after_iters: int = 200,
+        log_after_iters: int = 100,
+        validate_iters: Optional[int] = None,
+        num_iterations: int = 1,
+        num_epoch: int = 0,
+        eval_score_higher_is_better: bool = True,
+        tensorboard_formatter=None,
+        skip_train_validation: bool = False,
+        resume: Optional[str] = None,
+        pre_trained: Optional[str] = None,
+        mesh=None,
+        base_lr: float = 1e-3,
+        seed: int = 0,
+        **kwargs,
+    ):
+        self.model = model
+        self.optimizer = optimizer
+        self.scheduler = lr_scheduler
+        self.loss_criterion = loss_criterion
+        self.eval_criterion = eval_criterion
+        self.loaders = loaders
+        self.checkpoint_dir = checkpoint_dir
+        self.max_num_epochs = max_num_epochs
+        self.max_num_iterations = max_num_iterations
+        self.validate_after_iters = validate_after_iters
+        self.log_after_iters = log_after_iters
+        self.validate_iters = validate_iters
+        self.eval_score_higher_is_better = eval_score_higher_is_better
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.current_lr = base_lr
+        self.seed = seed
+
+        logger.info(f"eval_score_higher_is_better: {eval_score_higher_is_better}")
+        self.best_eval_score = (
+            float("-inf") if eval_score_higher_is_better else float("+inf")
+        )
+
+        self.writer = MetricWriter(
+            os.path.join(
+                checkpoint_dir, "logs", datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+            )
+        )
+        assert tensorboard_formatter is not None, "TensorboardFormatter must be provided"
+        self.tensorboard_formatter = tensorboard_formatter
+
+        self.num_iterations = num_iterations
+        self.num_epochs = num_epoch
+        self.skip_train_validation = skip_train_validation
+
+        # Lazily-initialized jitted state (needs a sample batch for shapes).
+        self._state = None  # dict: params, batch_stats, opt_state
+        self._train_step = None
+        self._eval_step = None
+        self._has_bn = False
+
+        self._resume_path = resume
+        self._pre_trained_path = pre_trained
+
+    # -- state management ----------------------------------------------------
+
+    def _init_state(self, sample_input: np.ndarray):
+        rng = jax.random.PRNGKey(self.seed)
+        x = jnp.asarray(sample_input[:1])
+        if not self.model.is3d:
+            x = jnp.squeeze(x, axis=1)
+        variables = self.model.init(rng, x, True)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        self._has_bn = bool(batch_stats)
+        logger.info(
+            f"Number of learnable params {get_number_of_learnable_parameters(params)}"
+        )
+        opt_state = self.optimizer.init(params)
+        state = {
+            "params": params,
+            "batch_stats": batch_stats,
+            "opt_state": opt_state,
+        }
+        self._state = mesh_lib.replicate(self.mesh, state)
+
+        if self._resume_path is not None:
+            logger.info(f"Loading checkpoint '{self._resume_path}'...")
+            saved = ckpt.load_checkpoint(
+                self._resume_path,
+                template={
+                    "num_epochs": 0,
+                    "num_iterations": 0,
+                    "model_state_dict": {"params": params, "batch_stats": batch_stats},
+                    "best_eval_score": 0.0,
+                    "optimizer_state_dict": opt_state,
+                },
+            )
+            self._state = mesh_lib.replicate(
+                self.mesh,
+                {
+                    "params": saved["model_state_dict"]["params"],
+                    "batch_stats": saved["model_state_dict"]["batch_stats"],
+                    "opt_state": saved["optimizer_state_dict"],
+                },
+            )
+            self.best_eval_score = float(saved["best_eval_score"])
+            self.num_iterations = int(saved["num_iterations"])
+            self.num_epochs = int(saved["num_epochs"])
+            self.checkpoint_dir = os.path.split(self._resume_path)[0]
+            logger.info(
+                f"Checkpoint loaded. Epoch: {self.num_epochs}. "
+                f"Iteration: {self.num_iterations}. "
+                f"Best val score: {self.best_eval_score}."
+            )
+        elif self._pre_trained_path is not None:
+            logger.info(f"Loading pre-trained model from '{self._pre_trained_path}'...")
+            saved = ckpt.load_checkpoint(
+                self._pre_trained_path,
+                template={
+                    "num_epochs": 0,
+                    "num_iterations": 0,
+                    "model_state_dict": {"params": params, "batch_stats": batch_stats},
+                    "best_eval_score": 0.0,
+                    "optimizer_state_dict": opt_state,
+                },
+            )
+            self._state = mesh_lib.replicate(
+                self.mesh,
+                {
+                    "params": saved["model_state_dict"]["params"],
+                    "batch_stats": saved["model_state_dict"]["batch_stats"],
+                    "opt_state": opt_state,
+                },
+            )
+
+        self._compile_steps()
+
+    def _apply_model(self, variables, x, train, rngs=None, mutable=False):
+        """Forward with the UNet2D z-squeeze special case
+        (reference trainer.py:302-320)."""
+        if not self.model.is3d:
+            x = jnp.squeeze(x, axis=1)
+        result = self.model.apply(variables, x, train, rngs=rngs, mutable=mutable)
+        if mutable:
+            out, mut = result
+        else:
+            out, mut = result, None
+        if not self.model.is3d:
+            out = jnp.expand_dims(out, axis=1)
+        return (out, mut) if mutable else out
+
+    def _compile_steps(self):
+        optimizer = self.optimizer
+        loss_criterion = self.loss_criterion
+        has_bn = self._has_bn
+
+        def train_step(state, input, target, weight, rng, lr):
+            import optax
+
+            def loss_fn(params):
+                variables = {"params": params}
+                if has_bn:
+                    variables["batch_stats"] = state["batch_stats"]
+                    (output, mut) = self._apply_model(
+                        variables, input, True, rngs={"dropout": rng},
+                        mutable=["batch_stats"],
+                    )
+                    new_bs = mut["batch_stats"]
+                else:
+                    output = self._apply_model(
+                        variables, input, True, rngs={"dropout": rng}
+                    )
+                    new_bs = state["batch_stats"]
+                if weight is None:
+                    loss = loss_criterion(output, target)
+                else:
+                    loss = loss_criterion(output, target, weight)
+                return loss, (output, new_bs)
+
+            (loss, (output, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state["params"])
+            opt_state = state["opt_state"]
+            opt_state.hyperparams["learning_rate"] = lr
+            updates, new_opt = optimizer.update(
+                grads, opt_state, state["params"]
+            )
+            new_params = optax.apply_updates(state["params"], updates)
+            return (
+                {"params": new_params, "batch_stats": new_bs, "opt_state": new_opt},
+                loss,
+                output,
+            )
+
+        def eval_step(state, input, target, weight):
+            variables = {"params": state["params"]}
+            if has_bn:
+                variables["batch_stats"] = state["batch_stats"]
+            output = self._apply_model(variables, input, False)
+            if weight is None:
+                loss = loss_criterion(output, target)
+            else:
+                loss = loss_criterion(output, target, weight)
+            return output, loss
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,),
+                                   static_argnames=())
+        self._eval_step = jax.jit(eval_step)
+
+    # -- loop ---------------------------------------------------------------
+
+    def fit(self):
+        for _ in range(self.num_epochs, self.max_num_epochs):
+            should_terminate = self.train()
+            if should_terminate:
+                logger.info("Stopping criterion is satisfied. Finishing training")
+                return
+            self.num_epochs += 1
+        logger.info(
+            f"Reached maximum number of epochs: {self.max_num_epochs}. "
+            f"Finishing training..."
+        )
+
+    def train(self) -> bool:
+        train_losses = RunningAverage()
+        train_eval_scores = RunningAverage()
+        rng = jax.random.PRNGKey(self.seed + 1)
+
+        for t in self.loaders["train"]:
+            logger.info(
+                f"Training iteration [{self.num_iterations}/"
+                f"{self.max_num_iterations}]. Epoch [{self.num_epochs}/"
+                f"{self.max_num_epochs - 1}]"
+            )
+            input, target, weight = self._split_training_batch(t)
+            if self._state is None:
+                self._init_state(input)
+
+            step_rng = jax.random.fold_in(rng, self.num_iterations)
+            self._state, loss, output = self._train_step(
+                self._state, input, target, weight, step_rng,
+                jnp.asarray(self.current_lr, jnp.float32),
+            )
+            train_losses.update(float(jax.device_get(loss)), self._batch_size(input))
+
+            if self.num_iterations % self.validate_after_iters == 0:
+                eval_score = self.validate()
+                if isinstance(self.scheduler, ReduceLROnPlateau):
+                    self.current_lr = self.scheduler.step(eval_score)
+                elif self.scheduler is not None:
+                    self.current_lr = self.scheduler.step()
+                self._log_lr()
+                is_best = self._is_best_eval_score(eval_score)
+                self._save_checkpoint(is_best)
+
+            if self.num_iterations % self.log_after_iters == 0:
+                if not self.skip_train_validation:
+                    final_activation = self.model.final_activation()
+                    act_output = (
+                        final_activation(output)
+                        if final_activation is not None
+                        else output
+                    )
+                    eval_score = float(
+                        np.asarray(self.eval_criterion(act_output, target))
+                    )
+                    train_eval_scores.update(eval_score, self._batch_size(input))
+                logger.info(
+                    f"Training stats. Loss: {train_losses.avg}. "
+                    f"Evaluation score: {train_eval_scores.avg}"
+                )
+                self._log_stats("train", train_losses.avg, train_eval_scores.avg)
+                self._log_images(input, target, output, "train_")
+
+            if self.should_stop():
+                return True
+            self.num_iterations += 1
+        return False
+
+    def should_stop(self) -> bool:
+        if self.max_num_iterations < self.num_iterations:
+            logger.info(
+                f"Maximum number of iterations {self.max_num_iterations} exceeded."
+            )
+            return True
+        min_lr = 1e-6
+        if self.current_lr < min_lr:
+            logger.info(f"Learning rate below the minimum {min_lr}.")
+            return True
+        return False
+
+    def validate(self) -> float:
+        logger.info("Validating...")
+        val_losses = RunningAverage()
+        val_scores = RunningAverage()
+
+        for i, t in enumerate(self.loaders["val"]):
+            logger.info(f"Validation iteration {i}")
+            input, target, weight = self._split_training_batch(t)
+            if self._state is None:
+                self._init_state(input)
+            output, loss = self._eval_step(self._state, input, target, weight)
+            val_losses.update(float(jax.device_get(loss)), self._batch_size(input))
+
+            if i % 100 == 0:
+                self._log_images(input, target, output, "val_")
+
+            # Parity: raw (un-activated) output scored (reference trainer.py:272).
+            eval_score = float(np.asarray(self.eval_criterion(output, target)))
+            val_scores.update(eval_score, self._batch_size(input))
+
+            if self.validate_iters is not None and self.validate_iters <= i:
+                break
+
+        self._log_stats("val", val_losses.avg, val_scores.avg)
+        logger.info(
+            f"Validation finished. Loss: {val_losses.avg}. "
+            f"Evaluation score: {val_scores.avg}"
+        )
+        return val_scores.avg
+
+    # -- helpers ------------------------------------------------------------
+
+    def _split_training_batch(self, t):
+        """Batch tuple → device-sharded (input, target, weight|None)."""
+        if len(t) == 2:
+            input, target = t
+            weight = None
+        else:
+            input, target, weight = t
+        sharded = mesh_lib.shard_batch(
+            self.mesh,
+            {"input": np.asarray(input), "target": np.asarray(target),
+             **({"weight": np.asarray(weight)} if weight is not None else {})},
+        )
+        return (
+            sharded["input"],
+            sharded["target"],
+            sharded.get("weight"),
+        )
+
+    def _is_best_eval_score(self, eval_score: float) -> bool:
+        if self.eval_score_higher_is_better:
+            is_best = eval_score > self.best_eval_score
+        else:
+            is_best = eval_score < self.best_eval_score
+        if is_best:
+            logger.info(f"Saving new best evaluation metric: {eval_score}")
+            self.best_eval_score = eval_score
+        return is_best
+
+    def _save_checkpoint(self, is_best: bool):
+        state = jax.device_get(self._state)
+        last_file_path = os.path.join(self.checkpoint_dir, ckpt.LAST_NAME)
+        logger.info(f"Saving checkpoint to '{last_file_path}'")
+        ckpt.save_checkpoint(
+            {
+                "num_epochs": self.num_epochs + 1,
+                "num_iterations": self.num_iterations,
+                "model_state_dict": {
+                    "params": state["params"],
+                    "batch_stats": state["batch_stats"],
+                },
+                "best_eval_score": self.best_eval_score,
+                "optimizer_state_dict": state["opt_state"],
+            },
+            is_best,
+            checkpoint_dir=self.checkpoint_dir,
+        )
+
+    def _log_lr(self):
+        self.writer.scalar("learning_rate", self.current_lr, self.num_iterations)
+
+    def _log_stats(self, phase: str, loss_avg: float, eval_score_avg: float):
+        self.writer.scalar(f"{phase}_loss_avg", loss_avg, self.num_iterations)
+        self.writer.scalar(
+            f"{phase}_eval_score_avg", eval_score_avg, self.num_iterations
+        )
+
+    def _log_images(self, input, target, prediction, prefix: str = ""):
+        final_activation = self.model.final_activation()
+        if final_activation is not None:
+            prediction = final_activation(prediction)
+        inputs_map = {"inputs": input, "targets": target, "predictions": prediction}
+        img_sources = {}
+        for name, batch in inputs_map.items():
+            if batch is None:
+                continue
+            if isinstance(batch, (list, tuple)):
+                for i, b in enumerate(batch):
+                    img_sources[f"{name}{i}"] = np.asarray(jax.device_get(b))
+            else:
+                img_sources[name] = np.asarray(jax.device_get(batch))
+        for name, batch in img_sources.items():
+            if batch.ndim < 4:
+                continue
+            for tag, image in self.tensorboard_formatter(name, batch):
+                self.writer.image(prefix + tag, image, self.num_iterations)
+
+    @staticmethod
+    def _batch_size(input) -> int:
+        if isinstance(input, (list, tuple)):
+            return input[0].shape[0]
+        return input.shape[0]
