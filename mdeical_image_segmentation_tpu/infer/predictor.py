@@ -1,0 +1,312 @@
+"""Sliding-window volumetric predictors with overlap-averaged recomposition.
+
+Reference: /root/reference/model/unet3d/predictor.py.  The pipeline:
+
+1. the test-phase HDF5 dataset yields halo-padded patches + their spatial
+   slice indices;
+2. a jitted batched forward runs each patch batch on device (UNet2D models
+   get the z-squeeze treatment, predictor.py:119-128); the variable tail
+   batch is padded to the full batch size so XLA compiles exactly one
+   program;
+3. the halo is stripped (remove_padding, predictor.py:131) and patches are
+   accumulated into a (C, D, H, W) prediction map with a visit-count
+   normalization mask (predictor.py:147-149);
+4. the averaged map (optionally argmax → uint16 segmentation) is written as
+   gzip H5 (predictor.py:164-168).
+
+Parity note: like the reference, the *raw network output* (logits — the
+final activation is constructed but not applied in forward) is accumulated;
+pass ``apply_activation=True`` to average probabilities instead.
+
+``LazyPredictor`` keeps the maps in chunked H5 datasets and normalizes in
+1/27-volume slices (predictor.py:189-223); ``DSB2018Predictor`` runs per-image
+2D predictions with threaded async writes + threshold/connected-components
+segmentation (predictor.py:226-281 — with its missing-argument submit bug
+fixed, as flagged in SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from concurrent import futures
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.hdf5 import AbstractHDF5Dataset
+from ..data.slice_builder import SliceBuilder
+from ..train.logging_utils import get_logger
+from ..transforms.skimage_compat import label as cc_label
+
+logger = get_logger("UNetPredictor")
+
+
+def _get_output_file(dataset, suffix="_predictions", output_dir=None) -> Path:
+    input_dir, file_name = os.path.split(dataset.file_path)
+    if output_dir is None:
+        output_dir = input_dir
+    return Path(output_dir) / (os.path.splitext(file_name)[0] + suffix + ".h5")
+
+
+def _unpad_channels_last(batch: np.ndarray, halo) -> np.ndarray:
+    """Strip spatial halo from (N, D, H, W, C) patches."""
+    if halo is None or all(p == 0 for p in halo):
+        return batch
+    sl = (slice(None),) + tuple(slice(p, -p or None) for p in halo) + (slice(None),)
+    return batch[sl]
+
+
+class _AbstractPredictor:
+    def __init__(
+        self,
+        model,
+        variables,
+        output_dir: str,
+        out_channels: int,
+        output_dataset: str = "predictions",
+        save_segmentation: bool = False,
+        prediction_channel: Optional[int] = None,
+        apply_activation: bool = False,
+        **kwargs,
+    ):
+        self.model = model
+        self.variables = variables
+        self.output_dir = output_dir
+        self.out_channels = out_channels
+        self.output_dataset = output_dataset
+        self.save_segmentation = save_segmentation
+        self.prediction_channel = prediction_channel
+        self.apply_activation = apply_activation
+        self._forward = None
+        self._batch_size = None
+
+    def _compile_forward(self, batch_size: int):
+        model = self.model
+        is2d = not getattr(model, "is3d", True)
+        apply_activation = self.apply_activation
+
+        def forward(variables, x):
+            if is2d:
+                x = jnp.squeeze(x, axis=1)
+            out = model.apply(variables, x, False)
+            if is2d:
+                out = jnp.expand_dims(out, axis=1)
+            if apply_activation:
+                act = model.final_activation()
+                if act is not None:
+                    out = act(out)
+            return out
+
+        self._forward = jax.jit(forward)
+        self._batch_size = batch_size
+
+    def _predict_batch(self, input: np.ndarray) -> np.ndarray:
+        """Jitted forward with tail-padding to a single static batch shape."""
+        n = input.shape[0]
+        if self._forward is None:
+            self._compile_forward(n)
+        if n < self._batch_size:
+            pad = np.repeat(input[-1:], self._batch_size - n, axis=0)
+            input = np.concatenate([input, pad], axis=0)
+        out = np.asarray(
+            jax.device_get(self._forward(self.variables, jnp.asarray(input)))
+        )
+        return out[:n]
+
+    def __call__(self, test_loader):
+        raise NotImplementedError
+
+
+class StandardPredictor(_AbstractPredictor):
+    """In-memory overlap-averaging predictor (reference predictor.py:65-168)."""
+
+    def __call__(self, test_loader):
+        assert isinstance(test_loader.dataset, AbstractHDF5Dataset)
+        logger.info(f"Processing '{test_loader.dataset.file_path}'...")
+        start = time.perf_counter()
+        logger.info(f"Running inference on {len(test_loader)} batches")
+
+        volume_shape = test_loader.dataset.volume_shape()
+        if self.prediction_channel is not None:
+            prediction_maps_shape = (1,) + tuple(volume_shape)
+        else:
+            prediction_maps_shape = (self.out_channels,) + tuple(volume_shape)
+
+        output_file = _get_output_file(
+            dataset=test_loader.dataset, output_dir=self.output_dir
+        )
+        os.makedirs(os.path.dirname(str(output_file)) or ".", exist_ok=True)
+        with h5py.File(output_file, "w") as h5_output_file:
+            logger.info("Allocating prediction and normalization arrays...")
+            prediction_map, normalization_mask = self._allocate_prediction_maps(
+                prediction_maps_shape, h5_output_file
+            )
+            patch_halo = test_loader.dataset.halo_shape
+
+            for input, indices in test_loader:
+                prediction = self._predict_batch(np.asarray(input))
+                prediction = _unpad_channels_last(prediction, patch_halo)
+                # channels-last patches → channel-first accumulation layout
+                prediction = np.moveaxis(prediction, -1, 1)  # (N, C, D, H, W)
+                for pred, index in zip(prediction, indices):
+                    if self.prediction_channel is None:
+                        channel_slice = slice(0, self.out_channels)
+                    else:
+                        channel_slice = slice(0, 1)
+                        pred = np.expand_dims(pred[self.prediction_channel], axis=0)
+                    index = (channel_slice,) + tuple(index)
+                    prediction_map[index] += pred
+                    normalization_mask[index] += 1
+
+            logger.info(
+                f"Finished inference in {time.perf_counter() - start:.2f} seconds"
+            )
+            output_type = (
+                "segmentation" if self.save_segmentation else "probability maps"
+            )
+            logger.info(f"Saving {output_type} to: {output_file}")
+            self._save_results(
+                prediction_map, normalization_mask, h5_output_file,
+                test_loader.dataset,
+            )
+        return output_file
+
+    def _allocate_prediction_maps(self, output_shape, output_file):
+        prediction_map = np.zeros(output_shape, dtype="float32")
+        normalization_mask = np.zeros(output_shape, dtype="uint8")
+        return prediction_map, normalization_mask
+
+    def _save_results(self, prediction_map, normalization_mask, output_file, dataset):
+        result = prediction_map / normalization_mask
+        if self.save_segmentation:
+            result = np.argmax(result, axis=0).astype("uint16")
+        output_file.create_dataset(
+            self.output_dataset, data=result, compression="gzip"
+        )
+
+
+class LazyPredictor(StandardPredictor):
+    """H5-backed maps normalized in 1/27-volume slices
+    (reference predictor.py:171-223) — for volumes larger than RAM."""
+
+    def _allocate_prediction_maps(self, output_shape, output_file):
+        prediction_map = output_file.create_dataset(
+            self.output_dataset, shape=output_shape, dtype="float32",
+            chunks=True, compression="gzip",
+        )
+        normalization_mask = output_file.create_dataset(
+            "normalization", shape=output_shape, dtype="uint8",
+            chunks=True, compression="gzip",
+        )
+        return prediction_map, normalization_mask
+
+    def _save_results(self, prediction_map, normalization_mask, output_file, dataset):
+        z, y, x = prediction_map.shape[1:]
+        patch_shape = (z // 3, y // 3, x // 3)
+        if self.save_segmentation:
+            output_file.create_dataset(
+                "segmentation", shape=(z, y, x), dtype="uint16", chunks=True,
+                compression="gzip",
+            )
+        for index in SliceBuilder._build_slices(
+            prediction_map, patch_shape=patch_shape, stride_shape=patch_shape
+        ):
+            logger.info(f"Normalizing slice: {index}")
+            prediction_map[index] /= normalization_mask[index]
+            normalization_mask[index] = 1
+            if self.save_segmentation:
+                output_file["segmentation"][index[1:]] = np.argmax(
+                    prediction_map[index], axis=0
+                ).astype("uint16")
+        del output_file["normalization"]
+        if self.save_segmentation:
+            del output_file[self.output_dataset]
+
+
+def dsb_save_batch(
+    output_dir, path, pred, save_segmentation=True, pmaps_thershold=0.5
+):
+    """Write per-image predictions (+ CC segmentation) to H5
+    (reference predictor.py:259-281; the reference's call site dropped the
+    ``pred`` argument — fixed here)."""
+
+    def _pmaps_to_seg(p):
+        mask = p > pmaps_thershold
+        return cc_label(mask).astype("uint16")
+
+    for single_pred, single_path in zip(pred, path):
+        logger.info(f"Processing {single_path}")
+        single_pred = np.squeeze(np.asarray(single_pred))
+        out_file = os.path.splitext(single_path)[0] + "_predictions.h5"
+        if output_dir is not None:
+            out_file = os.path.join(output_dir, os.path.split(out_file)[1])
+        with h5py.File(out_file, "w") as f:
+            f.create_dataset("predictions", data=single_pred, compression="gzip")
+            if save_segmentation:
+                f.create_dataset(
+                    "segmentation", data=_pmaps_to_seg(single_pred),
+                    compression="gzip",
+                )
+
+
+class DSB2018Predictor(_AbstractPredictor):
+    """Per-image 2D predictions with async H5 writes
+    (reference predictor.py:226-257; thread pool instead of a 32-process
+    pool — the writes are IO-bound and numpy arrays needn't be pickled)."""
+
+    def __init__(self, model, variables, output_dir, out_channels=1,
+                 save_segmentation=True, pmaps_thershold=0.5, **kwargs):
+        super().__init__(model, variables, output_dir, out_channels, **kwargs)
+        self.pmaps_threshold = pmaps_thershold
+        self.save_segmentation = save_segmentation
+
+    def __call__(self, test_loader):
+        executor = futures.ThreadPoolExecutor(max_workers=8)
+        pending = []
+        for img, path in test_loader:
+            img = np.asarray(img)
+            if img.ndim == 5 and img.shape[1] == 1:
+                # DSB pipelines emit (N, Z=1, H, W, C); 2D models take NHWC
+                img = np.squeeze(img, axis=1)
+            pred = np.asarray(
+                jax.device_get(
+                    jax.jit(lambda v, x: self.model.apply(v, x, False))(
+                        self.variables, jnp.asarray(img)
+                    )
+                )
+            )
+            act = self.model.final_activation()
+            if act is not None:
+                pred = np.asarray(act(pred))
+            pending.append(
+                executor.submit(
+                    dsb_save_batch, self.output_dir, path, pred,
+                    self.save_segmentation, self.pmaps_threshold,
+                )
+            )
+        print("Waiting for all predictions to be saved to disk...")
+        executor.shutdown(wait=True)
+        for p in pending:
+            p.result()  # surface worker exceptions
+
+
+PREDICTORS = {
+    "StandardPredictor": StandardPredictor,
+    "LazyPredictor": LazyPredictor,
+    "DSB2018Predictor": DSB2018Predictor,
+}
+
+
+def get_predictor(model, variables, output_dir, config: Dict[str, Any]):
+    """Build a predictor from ``config['predictor']`` (name + kwargs)."""
+    predictor_config = dict(config.get("predictor", {}))
+    cls_name = predictor_config.pop("name", "StandardPredictor")
+    out_channels = config["model"].get("out_channels")
+    return PREDICTORS[cls_name](
+        model, variables, output_dir, out_channels, **predictor_config
+    )

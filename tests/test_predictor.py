@@ -1,0 +1,180 @@
+"""Sliding-window predictor: overlap-average correctness (every voxel covered,
+constant-input consistency), halo handling, lazy variant parity, segmentation
+output, DSB per-image writes."""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+import jax
+
+from mdeical_image_segmentation_tpu.data import StandardHDF5Dataset, VolumeLoader
+from mdeical_image_segmentation_tpu.infer import (
+    DSB2018Predictor,
+    LazyPredictor,
+    StandardPredictor,
+)
+from mdeical_image_segmentation_tpu.models import get_model
+
+TRANSFORMER = {"raw": [{"name": "ToTensor", "expand_dims": True}]}
+
+
+@pytest.fixture(scope="module")
+def model_and_vars(rng):
+    model = get_model(
+        {"name": "UNet3D", "in_channels": 1, "out_channels": 2, "f_maps": 8,
+         "num_levels": 2}
+    )
+    import jax.numpy as jnp
+
+    variables = model.init(rng, jnp.zeros((1, 8, 64, 64, 1)), False)
+    return model, variables
+
+
+@pytest.fixture(scope="module")
+def volume_file(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pred")
+    path = str(root / "vol.h5")
+    raw = np.random.RandomState(0).rand(16, 96, 96).astype(np.float32)
+    with h5py.File(path, "w") as f:
+        f.create_dataset("raw", data=raw)
+    return path
+
+
+def _loader(path, halo=(0, 0, 0), stride=None):
+    cfg = {
+        "name": "SliceBuilder",
+        "patch_shape": [8, 64, 64],
+        "stride_shape": stride or [8, 64, 64],
+        "halo_shape": list(halo),
+    }
+    ds = StandardHDF5Dataset(path, "test", cfg, TRANSFORMER,
+                             global_normalization=False)
+    return VolumeLoader(ds, batch_size=2, prefetch=0)
+
+
+class TestStandardPredictor:
+    def test_full_coverage_and_shape(self, model_and_vars, volume_file, tmp_path):
+        model, variables = model_and_vars
+        pred = StandardPredictor(model, variables, str(tmp_path), out_channels=2)
+        out_file = pred(_loader(volume_file))
+        with h5py.File(out_file, "r") as f:
+            result = f["predictions"][:]
+        assert result.shape == (2, 16, 96, 96)
+        assert np.isfinite(result).all()  # every voxel visited ≥ once
+
+    def test_overlap_average_consistency(self, model_and_vars, volume_file, tmp_path):
+        """Overlapping strides must give the same result as exact tiling for a
+        deterministic model (averaging identical patch predictions in the
+        interior of each patch)."""
+        model, variables = model_and_vars
+        out_dir_a = str(tmp_path / "a")
+        out_dir_b = str(tmp_path / "b")
+        os.makedirs(out_dir_a), os.makedirs(out_dir_b)
+        fa = StandardPredictor(model, variables, out_dir_a, out_channels=2)(
+            _loader(volume_file)
+        )
+        fb = StandardPredictor(model, variables, out_dir_b, out_channels=2)(
+            _loader(volume_file, stride=[4, 32, 32])
+        )
+        with h5py.File(fa, "r") as f:
+            a = f["predictions"][:]
+        with h5py.File(fb, "r") as f:
+            b = f["predictions"][:]
+        assert a.shape == b.shape
+        # overlapping averages won't be identical (each window sees different
+        # context) but must agree strongly in the interior
+        interior = (slice(None), slice(4, 12), slice(32, 64), slice(32, 64))
+        assert np.corrcoef(a[interior].ravel(), b[interior].ravel())[0, 1] > 0.8
+
+    def test_halo_stripped(self, model_and_vars, volume_file, tmp_path):
+        model, variables = model_and_vars
+        out = str(tmp_path / "halo")
+        os.makedirs(out)
+        f = StandardPredictor(model, variables, out, out_channels=2)(
+            _loader(volume_file, halo=(2, 8, 8))
+        )
+        with h5py.File(f, "r") as h:
+            result = h["predictions"][:]
+        assert result.shape == (2, 16, 96, 96)
+        assert np.isfinite(result).all()
+
+    def test_save_segmentation(self, model_and_vars, volume_file, tmp_path):
+        model, variables = model_and_vars
+        out = str(tmp_path / "seg")
+        os.makedirs(out)
+        f = StandardPredictor(
+            model, variables, out, out_channels=2, save_segmentation=True
+        )(_loader(volume_file))
+        with h5py.File(f, "r") as h:
+            seg = h["predictions"][:]
+        assert seg.dtype == np.uint16
+        assert seg.shape == (16, 96, 96)
+        assert set(np.unique(seg)) <= {0, 1}
+
+    def test_prediction_channel(self, model_and_vars, volume_file, tmp_path):
+        model, variables = model_and_vars
+        out = str(tmp_path / "chan")
+        os.makedirs(out)
+        f = StandardPredictor(
+            model, variables, out, out_channels=2, prediction_channel=1
+        )(_loader(volume_file))
+        with h5py.File(f, "r") as h:
+            assert h["predictions"].shape == (1, 16, 96, 96)
+
+
+class TestLazyPredictor:
+    def test_matches_standard(self, model_and_vars, volume_file, tmp_path):
+        model, variables = model_and_vars
+        out_s = str(tmp_path / "std")
+        out_l = str(tmp_path / "lazy")
+        os.makedirs(out_s), os.makedirs(out_l)
+        fs = StandardPredictor(model, variables, out_s, out_channels=2)(
+            _loader(volume_file)
+        )
+        fl = LazyPredictor(model, variables, out_l, out_channels=2)(
+            _loader(volume_file)
+        )
+        with h5py.File(fs, "r") as f:
+            a = f["predictions"][:]
+        with h5py.File(fl, "r") as f:
+            b = f["predictions"][:]
+            assert "normalization" not in f
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+class TestDSBPredictor:
+    def test_per_image_outputs(self, rng, tmp_path):
+        from PIL import Image
+
+        from mdeical_image_segmentation_tpu.data import DSB2018Dataset, VolumeLoader
+
+        root = tmp_path / "dsb"
+        os.makedirs(root / "images")
+        rs = np.random.RandomState(0)
+        for i in range(3):
+            Image.fromarray((rs.rand(64, 64) * 255).astype(np.uint8)).save(
+                root / "images" / f"img{i}.png"
+            )
+        ds = DSB2018Dataset(
+            str(root), "test",
+            {"raw": [{"name": "Standardize"}, {"name": "ToTensor", "expand_dims": True}]},
+        )
+        model = get_model(
+            {"name": "UNet2D", "in_channels": 1, "out_channels": 1, "f_maps": 8,
+             "num_levels": 2}
+        )
+        import jax.numpy as jnp
+
+        variables = model.init(rng, jnp.zeros((1, 64, 64, 1)), False)
+        out = tmp_path / "dsb_out"
+        os.makedirs(out)
+        loader = VolumeLoader(ds, batch_size=2, prefetch=0,
+                              collate_fn=ds.prediction_collate)
+        DSB2018Predictor(model, variables, str(out))(loader)
+        outputs = sorted(os.listdir(out))
+        assert len(outputs) == 3
+        with h5py.File(out / outputs[0], "r") as f:
+            assert "predictions" in f and "segmentation" in f
