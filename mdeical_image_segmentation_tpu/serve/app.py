@@ -1,0 +1,384 @@
+"""Segmentation serving: HTTP endpoint → batched TPU inference.
+
+Reference: /root/reference/api/api.py — a FastAPI placeholder that serves
+ResNet-18 ImageNet classification on ``POST /`` with ``{"image_path": ...}``
+and returns ``{"response", "status", "time"}`` (api.py:52-82); the README
+(README.md:20-26,44-45) specifies the real goal: serve multiple
+user-selectable *segmentation* models and return the mask.  This module
+implements that goal:
+
+- ``ModelRegistry``: named models (2D UNet family bundles and 3D checkpoint
+  models), each with a jitted forward specialized to its input resolution;
+- ``BatchingInferenceEngine``: a background worker that coalesces concurrent
+  requests per model into one device batch (up to ``max_batch``, waiting at
+  most ``max_wait_ms``) — the TPU-idiomatic way to serve many small requests
+  at high MXU utilization;
+- ``SegmentationServer``: a dependency-free stdlib ThreadingHTTPServer
+  (FastAPI/uvicorn are not available in this environment) exposing:
+    POST /            {"image_path", "model"?, "return"?: "path"|"mask"}
+                      → {"response": <mask path or nested list>, "status",
+                         "time"} (reference response envelope parity)
+    GET  /models      registered model names
+    GET  /stats       request count + latency percentiles (p50/p90/p99)
+    GET  /health      liveness
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..train.logging_utils import get_logger
+
+logger = get_logger("serve")
+
+
+@dataclass
+class ModelEntry:
+    name: str
+    forward: Callable[[np.ndarray], np.ndarray]  # (N,H,W,C)->(N,H,W,Cout) probs
+    in_channels: int
+    resolution: int
+    threshold: float = 0.5
+
+
+class ModelRegistry:
+    def __init__(self):
+        self._models: Dict[str, ModelEntry] = {}
+        self.default: Optional[str] = None
+
+    def register(self, entry: ModelEntry, default: bool = False):
+        self._models[entry.name] = entry
+        if default or self.default is None:
+            self.default = entry.name
+        logger.info(f"registered model {entry.name!r} (default={self.default})")
+
+    def register_unet2d(self, name: str, path: str, *, threshold: float = 0.5,
+                        resolution: int = 512, default: bool = False):
+        """Load a 2D bundle saved with UNetModel.save_pretrained."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..models import UNetModel
+
+        model, variables = UNetModel.from_pretrained(path)
+
+        @jax.jit
+        def forward(x):
+            out = model.apply(variables, x, None, train=False)
+            logits = out.logits
+            # CGM returns probabilities already; others return logits
+            if model.config.unet_type.endswith("CGM"):
+                return logits
+            if model.config.out_channels > 1:
+                return jax.nn.softmax(logits, axis=-1)
+            return jax.nn.sigmoid(logits)
+
+        self.register(
+            ModelEntry(
+                name=name,
+                forward=lambda x: np.asarray(forward(jnp.asarray(x))),
+                in_channels=model.config.in_channels,
+                resolution=resolution,
+                threshold=threshold,
+            ),
+            default=default,
+        )
+
+    def register_unet3d(self, name: str, path: str, model_config: Dict[str, Any],
+                        *, threshold: float = 0.5, resolution: int = 256,
+                        default: bool = False):
+        """Load a 3D-family model from a training checkpoint; 2D-variant
+        models (UNet2D/ResidualUNet2D) serve single slices."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..models import get_model
+        from ..train import load_checkpoint
+
+        model = get_model(model_config)
+        state = load_checkpoint(path)
+        ms = state["model_state_dict"]
+        variables = {"params": ms["params"]}
+        if ms.get("batch_stats"):
+            variables["batch_stats"] = ms["batch_stats"]
+        act = model.final_activation()
+
+        @jax.jit
+        def forward(x):
+            if not model.is3d and x.ndim == 5:
+                x = jnp.squeeze(x, axis=1)
+            out = model.apply(variables, x, False)
+            return act(out) if act is not None else out
+
+        self.register(
+            ModelEntry(
+                name=name,
+                forward=lambda x: np.asarray(forward(jnp.asarray(x))),
+                in_channels=model_config.get("in_channels", 1),
+                resolution=resolution,
+                threshold=threshold,
+            ),
+            default=default,
+        )
+
+    def get(self, name: Optional[str]) -> ModelEntry:
+        if name is None:
+            name = self.default
+        if name not in self._models:
+            raise KeyError(
+                f"unknown model {name!r}; registered: {sorted(self._models)}"
+            )
+        return self._models[name]
+
+    def names(self) -> List[str]:
+        return sorted(self._models)
+
+
+@dataclass
+class _Request:
+    image: np.ndarray
+    event: threading.Event = field(default_factory=threading.Event)
+    result: Optional[np.ndarray] = None
+    error: Optional[str] = None
+
+
+class BatchingInferenceEngine:
+    """Coalesce concurrent requests per model into device batches."""
+
+    def __init__(self, registry: ModelRegistry, max_batch: int = 8,
+                 max_wait_ms: float = 5.0):
+        self.registry = registry
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self._queues: Dict[str, "queue.Queue[_Request]"] = {}
+        self._lock = threading.Lock()
+        self._running = True
+
+    def _queue_for(self, model_name: str) -> "queue.Queue[_Request]":
+        with self._lock:
+            if model_name not in self._queues:
+                q: "queue.Queue[_Request]" = queue.Queue()
+                self._queues[model_name] = q
+                threading.Thread(
+                    target=self._worker, args=(model_name, q), daemon=True
+                ).start()
+            return self._queues[model_name]
+
+    def _worker(self, model_name: str, q: "queue.Queue[_Request]"):
+        entry = self.registry.get(model_name)
+        while self._running:
+            try:
+                first = q.get(timeout=0.5)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + self.max_wait
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                x = np.stack([r.image for r in batch], axis=0)
+                probs = entry.forward(x)
+                for r, p in zip(batch, probs):
+                    r.result = p
+            except Exception as e:  # pragma: no cover - surfaced per request
+                for r in batch:
+                    r.error = f"{type(e).__name__}: {e}"
+            for r in batch:
+                r.event.set()
+
+    def infer(self, model_name: Optional[str], image: np.ndarray,
+              timeout: float = 60.0) -> np.ndarray:
+        entry = self.registry.get(model_name)
+        req = _Request(image=image)
+        self._queue_for(entry.name).put(req)
+        if not req.event.wait(timeout):
+            raise TimeoutError("inference timed out")
+        if req.error:
+            raise RuntimeError(req.error)
+        return req.result
+
+    def stop(self):
+        self._running = False
+
+
+class _Stats:
+    def __init__(self):
+        self.latencies: List[float] = []
+        self.count = 0
+        self.errors = 0
+        self._lock = threading.Lock()
+
+    def record(self, latency: float, error: bool = False):
+        with self._lock:
+            self.count += 1
+            if error:
+                self.errors += 1
+            else:
+                self.latencies.append(latency)
+                if len(self.latencies) > 10000:
+                    self.latencies = self.latencies[-5000:]
+
+    def summary(self) -> Dict[str, Any]:
+        with self._lock:
+            lats = sorted(self.latencies)
+        if not lats:
+            return {"count": self.count, "errors": self.errors}
+        pct = lambda p: lats[min(int(p / 100 * len(lats)), len(lats) - 1)]
+        return {
+            "count": self.count,
+            "errors": self.errors,
+            "p50_ms": round(pct(50) * 1e3, 2),
+            "p90_ms": round(pct(90) * 1e3, 2),
+            "p99_ms": round(pct(99) * 1e3, 2),
+        }
+
+
+class SegmentationServer:
+    def __init__(self, registry: ModelRegistry, *, output_dir: str = "/tmp/tpuseg_masks",
+                 max_batch: int = 8, max_wait_ms: float = 5.0):
+        self.registry = registry
+        self.engine = BatchingInferenceEngine(registry, max_batch, max_wait_ms)
+        self.output_dir = output_dir
+        self.stats = _Stats()
+        os.makedirs(output_dir, exist_ok=True)
+        self._httpd: Optional[ThreadingHTTPServer] = None
+
+    # -- request handling ----------------------------------------------------
+
+    def _build_input(self, image_path: str, entry: ModelEntry) -> np.ndarray:
+        """Decode + nearest-resize + normalize (the segmentation analog of
+        the reference's build_input, api.py:30-44)."""
+        from PIL import Image
+
+        from ..data.png2d import nearest_resize
+
+        mode = "L" if entry.in_channels == 1 else "RGB"
+        img = np.asarray(Image.open(image_path).convert(mode))
+        if img.ndim == 2:
+            img = img[..., None]
+        img = nearest_resize(img, (entry.resolution, entry.resolution))
+        return img.astype(np.float32) / 255.0
+
+    def handle_predict(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        start = time.time()
+        try:
+            image_path = payload["image_path"]
+            model_name = payload.get("model")
+            entry = self.registry.get(model_name)
+            image = self._build_input(image_path, entry)
+            probs = self.engine.infer(entry.name, image)
+            mask = (probs[..., 0] > entry.threshold).astype(np.uint8)
+
+            if payload.get("return") == "mask":
+                response: Any = mask.tolist()
+            else:
+                from PIL import Image
+
+                base = os.path.splitext(os.path.basename(image_path))[0]
+                mask_path = os.path.join(
+                    self.output_dir, f"{base}_{entry.name}_mask.png"
+                )
+                Image.fromarray(mask * 255).save(mask_path)
+                response = mask_path
+            elapsed = time.time() - start
+            self.stats.record(elapsed)
+            return {"response": response, "status": 200,
+                    "time": time.strftime("%Y-%m-%d %H:%M:%S"),
+                    "latency_ms": round(elapsed * 1e3, 2),
+                    "model": entry.name}
+        except FileNotFoundError as e:
+            self.stats.record(time.time() - start, error=True)
+            return {"response": f"image not found: {e}", "status": 404,
+                    "time": time.strftime("%Y-%m-%d %H:%M:%S")}
+        except KeyError as e:
+            self.stats.record(time.time() - start, error=True)
+            return {"response": str(e), "status": 400,
+                    "time": time.strftime("%Y-%m-%d %H:%M:%S")}
+        except Exception as e:
+            self.stats.record(time.time() - start, error=True)
+            logger.error(f"prediction failed: {e}", exc_info=True)
+            return {"response": f"{type(e).__name__}: {e}", "status": 500,
+                    "time": time.strftime("%Y-%m-%d %H:%M:%S")}
+
+    # -- http ----------------------------------------------------------------
+
+    def _make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):
+                logger.info("%s - %s" % (self.address_string(), fmt % args))
+
+            def _send(self, obj: Dict[str, Any], status: int = 200):
+                body = json.dumps(obj).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/health":
+                    self._send({"status": "ok"})
+                elif self.path == "/models":
+                    self._send({"models": server.registry.names(),
+                                "default": server.registry.default})
+                elif self.path == "/stats":
+                    self._send(server.stats.summary())
+                else:
+                    self._send({"response": "not found", "status": 404}, 404)
+
+            def do_POST(self):
+                if self.path not in ("/", "/predict"):
+                    self._send({"response": "not found", "status": 404}, 404)
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(length) or b"{}")
+                except json.JSONDecodeError:
+                    self._send({"response": "invalid JSON", "status": 400}, 400)
+                    return
+                result = server.handle_predict(payload)
+                self._send(result, result.get("status", 200))
+
+        return Handler
+
+    def start(self, host: str = "0.0.0.0", port: int = 6076) -> ThreadingHTTPServer:
+        """Start serving in a background thread; returns the server object."""
+        self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
+        thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        thread.start()
+        logger.info(f"serving on {host}:{port} (models: {self.registry.names()})")
+        return self._httpd
+
+    def serve_forever(self, host: str = "0.0.0.0", port: int = 6076):
+        self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
+        logger.info(f"serving on {host}:{port} (models: {self.registry.names()})")
+        self._httpd.serve_forever()
+
+    def stop(self):
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd = None
+        self.engine.stop()
+
+
+def serve(registry: ModelRegistry, host: str = "0.0.0.0", port: int = 6076,
+          **kwargs):
+    """Blocking convenience entry (reference runs uvicorn on 6076, api.py:98)."""
+    SegmentationServer(registry, **kwargs).serve_forever(host, port)

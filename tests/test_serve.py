@@ -1,0 +1,147 @@
+"""Serving: real HTTP round-trips against a live server — predict (path and
+inline mask modes), model selection, batching under concurrency, error paths,
+stats endpoint."""
+
+import json
+import http.client
+import os
+import threading
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from mdeical_image_segmentation_tpu.models import UNetConfig, UNetModel
+from mdeical_image_segmentation_tpu.serve import ModelRegistry, SegmentationServer
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve")
+    registry = ModelRegistry()
+    for name, base in [("small", 4), ("tiny", 2)]:
+        model = UNetModel(
+            UNetConfig(in_channels=1, out_channels=1, unet_type="UNet",
+                       base_features=base)
+        )
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)))
+        path = str(root / name)
+        model.save_pretrained(path, variables)
+        registry.register_unet2d(name, path, resolution=64)
+
+    srv = SegmentationServer(registry, output_dir=str(root / "masks"),
+                             max_batch=4, max_wait_ms=10.0)
+    httpd = srv.start(host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    yield srv, port, root
+    srv.stop()
+
+
+def _post(port, payload):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("POST", "/", json.dumps(payload),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    body = json.loads(resp.read())
+    conn.close()
+    return resp.status, body
+
+
+def _get(port, path):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("GET", path)
+    resp = conn.getresponse()
+    body = json.loads(resp.read())
+    conn.close()
+    return resp.status, body
+
+
+@pytest.fixture(scope="module")
+def image_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("imgs") / "scan.png"
+    rs = np.random.RandomState(0)
+    Image.fromarray((rs.rand(80, 100) * 255).astype(np.uint8)).save(p)
+    return str(p)
+
+
+def test_health_and_models(server):
+    _, port, _ = server
+    status, body = _get(port, "/health")
+    assert status == 200 and body["status"] == "ok"
+    status, body = _get(port, "/models")
+    assert body["models"] == ["small", "tiny"]
+    assert body["default"] == "small"
+
+
+def test_predict_returns_mask_path(server, image_path):
+    _, port, _ = server
+    status, body = _post(port, {"image_path": image_path})
+    assert status == 200, body
+    assert body["model"] == "small"
+    mask_path = body["response"]
+    assert os.path.exists(mask_path)
+    mask = np.asarray(Image.open(mask_path))
+    assert mask.shape == (64, 64)
+    assert set(np.unique(mask)) <= {0, 255}
+
+
+def test_model_selection(server, image_path):
+    _, port, _ = server
+    status, body = _post(port, {"image_path": image_path, "model": "tiny"})
+    assert status == 200 and body["model"] == "tiny"
+
+
+def test_inline_mask(server, image_path):
+    _, port, _ = server
+    status, body = _post(port, {"image_path": image_path, "return": "mask"})
+    assert status == 200
+    mask = np.asarray(body["response"])
+    assert mask.shape == (64, 64)
+
+
+def test_unknown_model_400(server, image_path):
+    _, port, _ = server
+    status, body = _post(port, {"image_path": image_path, "model": "nope"})
+    assert status == 400
+    assert "unknown model" in body["response"]
+
+
+def test_missing_image_404(server):
+    _, port, _ = server
+    status, body = _post(port, {"image_path": "/does/not/exist.png"})
+    assert status == 404
+
+
+def test_invalid_json_400(server):
+    _, port, _ = server
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("POST", "/", "{not json", {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 400
+    conn.close()
+
+
+def test_concurrent_requests_batched(server, image_path):
+    _, port, _ = server
+    results = []
+
+    def hit():
+        results.append(_post(port, {"image_path": image_path, "return": "mask"}))
+
+    threads = [threading.Thread(target=hit) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(s == 200 for s, _ in results)
+
+
+def test_stats_percentiles(server):
+    _, port, _ = server
+    status, body = _get(port, "/stats")
+    assert status == 200
+    assert body["count"] >= 10
+    assert "p50_ms" in body and body["p50_ms"] > 0
