@@ -6,8 +6,10 @@ from .mesh import (
     replicate,
     local_batch_size,
 )
+from .spatial import spatial_sharded_apply
 
 __all__ = [
+    "spatial_sharded_apply",
     "make_mesh",
     "batch_sharding",
     "replicated_sharding",

@@ -1,0 +1,107 @@
+"""Spatially-sharded volumetric inference with ICI halo exchange.
+
+The reference handles inputs larger than memory purely by host-side patch
+decomposition (SliceBuilder + halo mirror-pad + overlap averaging —
+SURVEY.md §5 'long-context' analog).  This module adds the TPU-idiomatic
+extension anticipated there: shard ONE volume's Y axis across the mesh's
+data devices and run the forward in SPMD, exchanging conv-halo rows between
+neighboring shards over ICI with ``jax.lax.ppermute`` — the segmentation
+equivalent of sequence-parallel attention's ring exchange.
+
+Semantics: each shard is processed like a sliding-window patch with a halo
+of ``halo`` rows gathered from its neighbors (edge shards reflect-pad, like
+``mirror_pad``).  With ``halo ≥`` the model's half receptive field the
+result equals the monolithic forward exactly for normalization-free layer
+orders; GroupNorm statistics are per-shard — the same per-patch semantics
+the reference's patch-based inference already has.
+
+Works on any mesh axis size (tested on the 8-device CPU mesh); on real
+hardware the ppermute rides ICI neighbor links.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS
+
+
+def _halo_exchange(x: jax.Array, halo: int, axis: int, axis_name: str) -> jax.Array:
+    """Concatenate `halo` rows from the left/right mesh neighbors along
+    `axis`.  Edge shards reflect-pad (mirror_pad parity at volume borders)."""
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+
+    def take(a, sl):
+        slicer = [slice(None)] * a.ndim
+        slicer[axis] = sl
+        return a[tuple(slicer)]
+
+    # my last `halo` rows go right; my first `halo` rows go left
+    send_right = take(x, slice(-halo, None))
+    send_left = take(x, slice(0, halo))
+    right_perm = [(i, (i + 1) % n) for i in range(n)]
+    left_perm = [(i, (i - 1) % n) for i in range(n)]
+    from_left = jax.lax.ppermute(send_right, axis_name, right_perm)
+    from_right = jax.lax.ppermute(send_left, axis_name, left_perm)
+
+    # reflect-pad at the global volume edges (mirror of rows 1..halo)
+    reflect_lo = jnp.flip(take(x, slice(1, halo + 1)), axis=axis)
+    reflect_hi = jnp.flip(take(x, slice(-halo - 1, -1)), axis=axis)
+    from_left = jnp.where(idx == 0, reflect_lo, from_left)
+    from_right = jnp.where(idx == n - 1, reflect_hi, from_right)
+    return jnp.concatenate([from_left, x, from_right], axis=axis)
+
+
+def spatial_sharded_apply(
+    model,
+    variables,
+    volume: jax.Array,  # (N, D, H, W, C) or (N, H, W, C)
+    mesh: Mesh,
+    *,
+    halo: int,
+    shard_axis: int = 2,  # H for 3D volumes (axis after N, D)
+    axis_name: str = DATA_AXIS,
+) -> jax.Array:
+    """Forward a single large volume sharded along one spatial axis.
+
+    The volume's ``shard_axis`` extent must divide evenly by the mesh axis
+    size, and ``halo`` must not exceed the per-shard extent.
+    """
+    n_shards = mesh.shape[axis_name]
+    extent = volume.shape[shard_axis]
+    assert extent % n_shards == 0, (
+        f"spatial axis extent {extent} not divisible by {n_shards} shards"
+    )
+    shard_extent = extent // n_shards
+    # strict: edge-shard reflection mirrors rows 1..halo, needing extent > halo
+    assert 0 < halo < shard_extent, (
+        f"halo {halo} must be in (0, shard extent {shard_extent})"
+    )
+
+    in_spec = [None] * volume.ndim
+    in_spec[shard_axis] = axis_name
+    in_spec = P(*in_spec)
+
+    def per_shard(variables, x):
+        x = _halo_exchange(x, halo, shard_axis, axis_name)
+        out = model.apply(variables, x, False)
+        slicer = [slice(None)] * out.ndim
+        slicer[shard_axis] = slice(halo, -halo)
+        return out[tuple(slicer)]
+
+    fn = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), in_spec),
+        out_specs=in_spec,
+        check_rep=False,
+    )
+    return fn(variables, volume)
