@@ -123,7 +123,62 @@ class _AbstractPredictor:
 
 
 class StandardPredictor(_AbstractPredictor):
-    """In-memory overlap-averaging predictor (reference predictor.py:65-168)."""
+    """In-memory overlap-averaging predictor (reference predictor.py:65-168).
+
+    With ``accumulate_on_device=True`` (default) the overlap-add runs on the
+    accelerator via the Pallas/XLA kernel in ops.overlap — the prediction map
+    never round-trips patches through the host; only the final averaged
+    volume is fetched.  ``False`` gives the reference's host-accumulation
+    behavior (also used by LazyPredictor's H5-backed maps).
+    """
+
+    def __init__(self, *args, accumulate_on_device: bool = True, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.accumulate_on_device = accumulate_on_device
+
+    def _device_accumulate(self, test_loader, volume_shape, patch_halo):
+        """Stream batches through forward + device overlap-add; returns the
+        (C, D, H, W) numpy sum/count maps."""
+        import jax.numpy as jnp
+
+        from ..ops.overlap import overlap_add_into
+
+        n_ch = 1 if self.prediction_channel is not None else self.out_channels
+        acc = jnp.zeros((*volume_shape, n_ch), jnp.float32)
+        cnt = jnp.zeros((*volume_shape, n_ch), jnp.float32)
+        accumulate = jax.jit(overlap_add_into, donate_argnums=(0, 1))
+
+        batch_size = None
+        for input, indices in test_loader:
+            input = np.asarray(input)
+            n = input.shape[0]
+            if batch_size is None:
+                batch_size = n
+            prediction = self._predict_batch(input)  # (n, pd', ph', pw', C)
+            prediction = _unpad_channels_last(prediction, patch_halo)
+            if self.prediction_channel is not None:
+                prediction = prediction[..., self.prediction_channel : self.prediction_channel + 1]
+            starts = np.array(
+                [[idx[0].start, idx[1].start, idx[2].start] for idx in indices],
+                np.int32,
+            )
+            valid = np.ones((n,), np.float32)
+            if n < batch_size:  # pad tail to the static batch shape
+                pad = batch_size - n
+                prediction = np.concatenate(
+                    [prediction, np.repeat(prediction[-1:], pad, axis=0)], axis=0
+                )
+                starts = np.concatenate(
+                    [starts, np.repeat(starts[-1:], pad, axis=0)], axis=0
+                )
+                valid = np.concatenate([valid, np.zeros((pad,), np.float32)])
+            acc, cnt = accumulate(
+                acc, cnt, jnp.asarray(prediction), jnp.asarray(starts),
+                jnp.asarray(valid),
+            )
+        acc_np = np.moveaxis(np.asarray(jax.device_get(acc)), -1, 0)
+        cnt_np = np.moveaxis(np.asarray(jax.device_get(cnt)), -1, 0)
+        return acc_np, cnt_np
 
     def __call__(self, test_loader):
         assert isinstance(test_loader.dataset, AbstractHDF5Dataset)
@@ -142,26 +197,33 @@ class StandardPredictor(_AbstractPredictor):
         )
         os.makedirs(os.path.dirname(str(output_file)) or ".", exist_ok=True)
         with h5py.File(output_file, "w") as h5_output_file:
-            logger.info("Allocating prediction and normalization arrays...")
-            prediction_map, normalization_mask = self._allocate_prediction_maps(
-                prediction_maps_shape, h5_output_file
-            )
             patch_halo = test_loader.dataset.halo_shape
 
-            for input, indices in test_loader:
-                prediction = self._predict_batch(np.asarray(input))
-                prediction = _unpad_channels_last(prediction, patch_halo)
-                # channels-last patches → channel-first accumulation layout
-                prediction = np.moveaxis(prediction, -1, 1)  # (N, C, D, H, W)
-                for pred, index in zip(prediction, indices):
-                    if self.prediction_channel is None:
-                        channel_slice = slice(0, self.out_channels)
-                    else:
-                        channel_slice = slice(0, 1)
-                        pred = np.expand_dims(pred[self.prediction_channel], axis=0)
-                    index = (channel_slice,) + tuple(index)
-                    prediction_map[index] += pred
-                    normalization_mask[index] += 1
+            if self.accumulate_on_device and type(self) is StandardPredictor:
+                prediction_map, normalization_mask = self._device_accumulate(
+                    test_loader, tuple(volume_shape), patch_halo
+                )
+            else:
+                logger.info("Allocating prediction and normalization arrays...")
+                prediction_map, normalization_mask = self._allocate_prediction_maps(
+                    prediction_maps_shape, h5_output_file
+                )
+                for input, indices in test_loader:
+                    prediction = self._predict_batch(np.asarray(input))
+                    prediction = _unpad_channels_last(prediction, patch_halo)
+                    # channels-last patches → channel-first accumulation layout
+                    prediction = np.moveaxis(prediction, -1, 1)  # (N, C, D, H, W)
+                    for pred, index in zip(prediction, indices):
+                        if self.prediction_channel is None:
+                            channel_slice = slice(0, self.out_channels)
+                        else:
+                            channel_slice = slice(0, 1)
+                            pred = np.expand_dims(
+                                pred[self.prediction_channel], axis=0
+                            )
+                        index = (channel_slice,) + tuple(index)
+                        prediction_map[index] += pred
+                        normalization_mask[index] += 1
 
             logger.info(
                 f"Finished inference in {time.perf_counter() - start:.2f} seconds"

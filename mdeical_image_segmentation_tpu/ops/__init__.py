@@ -9,6 +9,7 @@ from .image import (
     center_crop,
 )
 from .msssim import ssim, ms_ssim
+from .overlap import overlap_add, overlap_add_into
 from . import initializers
 
 __all__ = [
@@ -22,5 +23,7 @@ __all__ = [
     "center_crop",
     "ssim",
     "ms_ssim",
+    "overlap_add",
+    "overlap_add_into",
     "initializers",
 ]
