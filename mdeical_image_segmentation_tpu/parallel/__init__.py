@@ -7,6 +7,7 @@ from .mesh import (
     local_batch_size,
 )
 from .spatial import spatial_sharded_apply
+from . import distributed
 
 __all__ = [
     "spatial_sharded_apply",

@@ -9,6 +9,7 @@ from .train_state import TrainState, create_train_state
 from .trainer2d import CustomTrainer, Trainer, TrainingArguments, TrainOutput
 from .trainer3d import UNetTrainer, create_trainer
 from .checkpoint import load_checkpoint, save_checkpoint, save_network_output
+from .profiling import ProfiledSection, StepTimer, device_memory_summary, trace
 from .logging_utils import (
     MetricWriter,
     RunningAverage,

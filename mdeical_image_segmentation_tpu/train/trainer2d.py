@@ -69,6 +69,9 @@ class TrainingArguments:
     plot_eval: bool = False  # reference dumps output.png every eval
     log_dir: Optional[str] = None
     bf16: bool = False
+    profile_dir: Optional[str] = None  # jax.profiler trace of steps 10-13
+    profile_start_step: int = 10
+    profile_num_steps: int = 3
 
 
 @dataclasses.dataclass
@@ -236,11 +239,28 @@ class Trainer:
             f"{self.train_batch} on {self.mesh.shape} mesh *****"
         )
         done = False
+        profiling = False
         while not done:
             for batch in loader:
+                if (
+                    self.args.profile_dir
+                    and global_step == self.args.profile_start_step
+                    and not profiling
+                ):
+                    jax.profiler.start_trace(self.args.profile_dir)
+                    profiling = True
                 sharded = mesh_lib.shard_batch(self.mesh, batch)
                 self.state, loss = self._train_step(self.state, sharded, rng)
                 global_step += 1
+                if (
+                    profiling
+                    and global_step
+                    >= self.args.profile_start_step + self.args.profile_num_steps
+                ):
+                    jax.block_until_ready(loss)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    logger.info(f"profiler trace written to {self.args.profile_dir}")
 
                 if self.args.logging_steps and global_step % self.args.logging_steps == 0:
                     loss_v = float(jax.device_get(loss))
@@ -286,6 +306,8 @@ class Trainer:
             if self.args.eval_strategy == "epoch" and self.eval_dataset is not None:
                 self.evaluate()
 
+        if profiling:
+            jax.profiler.stop_trace()
         train_loss = total_loss / max(total_n, 1)
         return TrainOutput(global_step, train_loss, {"train_loss": train_loss})
 
