@@ -238,3 +238,28 @@ class UNetUp(nn.Module):
         for s in skips:
             x = jnp.concatenate([x, s], axis=-1)
         return UNetConv2(self.features, is_batchnorm=False, dtype=self.dtype)(x)
+
+
+class UNetUpOrigin(nn.Module):
+    """The nested-UNet up block variant: same upsample choices but the conv
+    consumes ``in_size + (n_concat - 2) * out_size`` channels (reference
+    ``unetUp_origin``, layers.py:78-101).  In channels-last flax the conv
+    input width follows the concat automatically; the module exists for
+    architecture-parity with configs that reference it."""
+
+    features: int
+    is_deconv: bool = True
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *skips: jax.Array) -> jax.Array:
+        if self.is_deconv:
+            x = TorchConvTranspose(
+                self.features, (4, 4), (2, 2), torch_padding=1,
+                kernel_init="kaiming", dtype=self.dtype,
+            )(x)
+        else:
+            x = upsample_bilinear2d(x, 2, align_corners=True)
+        for s in skips:
+            x = jnp.concatenate([x, s], axis=-1)
+        return UNetConv2(self.features, is_batchnorm=False, dtype=self.dtype)(x)
