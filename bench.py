@@ -66,10 +66,60 @@ def bench_unet2d(base_features: int, batch: int, res: int = 256, steps: int = 60
     }
 
 
+def bench_unet3d(f_maps: int = 32, batch: int = 2, patch=(64, 128, 128),
+                 steps: int = 20):
+    """3D patches/sec/chip (BASELINE metric #2): UNet3D 'gcr' train step."""
+    from mdeical_image_segmentation_tpu.losses import BCEDiceLoss
+    from mdeical_image_segmentation_tpu.models import get_model
+
+    model = get_model(
+        {"name": "UNet3D", "in_channels": 1, "out_channels": 1,
+         "f_maps": f_maps, "num_levels": 4, "layer_order": "gcr",
+         "dtype": jnp.bfloat16}
+    )
+    criterion = BCEDiceLoss()
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(batch, *patch, 1), jnp.float32)
+    y = (x > 0.5).astype(jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x[:1], True)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(variables["params"])
+
+    def step(params, opt_state, x, y, rng):
+        def loss_fn(p):
+            out = model.apply({"params": p}, x, True, rngs={"dropout": rng})
+            return criterion(out, y)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    jstep = jax.jit(step, donate_argnums=(0, 1))
+    key = jax.random.PRNGKey(1)
+    params, opt_state = variables["params"], opt_state
+    params, opt_state, loss = jstep(params, opt_state, x, y, key)
+    float(loss)
+    t0 = time.time()
+    for _ in range(steps):
+        params, opt_state, loss = jstep(params, opt_state, x, y, key)
+    float(loss)
+    dt = time.time() - t0
+    return {
+        "patches_per_sec": steps * batch / dt,
+        "ms_per_step": dt / steps * 1e3,
+        "batch": batch,
+        "patch": list(patch),
+    }
+
+
 def main():
     device = jax.devices()[0]
     headline = bench_unet2d(base_features=64, batch=32, steps=40)
     fast = bench_unet2d(base_features=16, batch=128, steps=20)
+    try:
+        vol = bench_unet3d()
+    except Exception as e:  # keep the headline robust to 3D OOM etc.
+        vol = {"error": f"{type(e).__name__}: {e}"}
 
     value = round(headline["slices_per_sec"], 1)
     print(
@@ -84,6 +134,7 @@ def main():
                     "ms_per_step": round(headline["ms_per_step"], 2),
                     "batch": headline["batch"],
                     "unet2d_base16_slices_per_sec": round(fast["slices_per_sec"], 1),
+                    "unet3d_fmaps32_64x128x128": vol,
                 },
             }
         )
