@@ -179,3 +179,73 @@ def unet3plus_params_from_torch(
             # cls = Sequential(Dropout, Conv2d, AdaptiveMaxPool2d, Sigmoid)
             params["TorchConv_0"] = _tc(convert_conv(sd, "cls.1"))
     return {"params": params, "batch_stats": stats}
+
+
+def convert_groupnorm(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    return {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _single_conv_from_torch(sd: Mapping[str, Any], prefix: str, order: str):
+    """Map one torch SingleConv (order-string layer) to our SingleConv tree.
+
+    Our flax module numbers submodules in order-string sequence: GroupNorm_k
+    for the k-th 'g', TorchConv_k for the k-th 'c' (flax auto-naming counts
+    per-type).  The torch side names them 'groupnorm' / 'conv'.
+    """
+    out: Dict[str, Any] = {}
+    if "g" in order:
+        out["GroupNorm_0"] = convert_groupnorm(sd, f"{prefix}.groupnorm")
+    out["TorchConv_0"] = _tc(convert_conv(sd, f"{prefix}.conv"))
+    return out
+
+
+def unet3d_params_from_torch(
+    sd: Mapping[str, Any],
+    *,
+    num_levels: int = 4,
+    layer_order: str = "gcr",
+    basic_module: str = "DoubleConv",
+) -> Dict[str, Any]:
+    """3D family (reference model/unet3d/model.py) → our AbstractUNet params.
+
+    Supports DoubleConv models (UNet3D/UNet2D) and ResNetBlock models
+    (ResidualUNet3D/ResidualUNet2D); SE variants add the SE submodules.
+    """
+    params: Dict[str, Any] = {}
+
+    def block(prefix: str) -> Dict[str, Any]:
+        if basic_module == "DoubleConv":
+            return {
+                "SingleConv1": _single_conv_from_torch(
+                    sd, f"{prefix}.SingleConv1", layer_order
+                ),
+                "SingleConv2": _single_conv_from_torch(
+                    sd, f"{prefix}.SingleConv2", layer_order
+                ),
+            }
+        # ResNetBlock: conv1 (1x1, only when channels change), conv2 full
+        # order, conv3 without nonlinearity.
+        out: Dict[str, Any] = {}
+        if f"{prefix}.conv1.weight" in sd:
+            out["conv1"] = _tc(convert_conv(sd, f"{prefix}.conv1"))
+        out["conv2"] = _single_conv_from_torch(sd, f"{prefix}.conv2", layer_order)
+        n_order = layer_order
+        for ch in "rel":
+            n_order = n_order.replace(ch, "")
+        out["conv3"] = _single_conv_from_torch(sd, f"{prefix}.conv3", n_order)
+        return out
+
+    for i in range(num_levels):
+        params[f"encoder{i}"] = {
+            "basic_module": block(f"encoders.{i}.basic_module")
+        }
+    for i in range(num_levels - 1):
+        dec: Dict[str, Any] = {
+            "basic_module": block(f"decoders.{i}.basic_module")
+        }
+        up_prefix = f"decoders.{i}.upsampling.upsample.conv_transposed"
+        if f"{up_prefix}.weight" in sd:
+            dec["upsampling"] = _tct(convert_conv_transpose(sd, up_prefix))
+        params[f"decoder{i}"] = dec
+    params["final_conv"] = _tc(convert_conv(sd, "final_conv"))
+    return {"params": params}

@@ -25,15 +25,11 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.fixture(scope="module")
-def ref_models():
-    """Import the reference 2D model zoo with stubbed torchvision/msssim."""
+
+def _install_2d_stubs():
     import types
-
-    import torch
-
-    # stub torchvision.transforms.functional.center_crop
     import importlib.machinery
+    import torch
 
     def _stub(name):
         mod = types.ModuleType(name)
@@ -67,7 +63,13 @@ def ref_models():
     ms.MS_SSIM = MS_SSIM
     ms.ms_ssim = lambda *a, **k: None
     sys.modules.setdefault("pytorch_msssim", ms)
+    return _stub
 
+
+@pytest.fixture(scope="module")
+def ref_models():
+    """Import the reference 2D model zoo with stubbed torchvision/msssim."""
+    _install_2d_stubs()
     sys.path.insert(0, REFERENCE)
     try:
         from model.unet2d.unet import (  # noqa
@@ -177,3 +179,105 @@ def test_masks_match_pixel_for_pixel(ref_models):
     ours_logits = np.asarray(ours_model.apply(variables, jnp.asarray(x)))
     ours_mask = (1 / (1 + np.exp(-ours_logits))) > 0.5
     np.testing.assert_array_equal(ours_mask, ref_mask)
+
+
+# ---------------------------------------------------------------------------
+# 3D family parity
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_models_3d():
+    """Import the reference 3D model zoo (its buildingblocks vendor-imports
+    pytorch3dunet.unet3d.se, which we alias to the reference's own se.py)."""
+    import importlib.machinery
+    import importlib.util
+    import types
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_se", os.path.join(REFERENCE, "model/unet3d/se.py")
+    )
+    ref_se = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_se)
+
+    def _stub(name):
+        mod = types.ModuleType(name)
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        return mod
+
+    _install_2d_stubs()
+    pkg = _stub("pytorch3dunet")
+    sub = _stub("pytorch3dunet.unet3d")
+    se = _stub("pytorch3dunet.unet3d.se")
+    se.ChannelSELayer3D = ref_se.ChannelSELayer3D
+    se.SpatialSELayer3D = ref_se.SpatialSELayer3D
+    se.ChannelSpatialSELayer3D = ref_se.ChannelSpatialSELayer3D
+    sub.se = se
+    pkg.unet3d = sub
+    sys.modules.setdefault("pytorch3dunet", pkg)
+    sys.modules.setdefault("pytorch3dunet.unet3d", sub)
+    sys.modules.setdefault("pytorch3dunet.unet3d.se", se)
+
+    sys.path.insert(0, REFERENCE)
+    try:
+        from model.unet3d.model import (  # noqa
+            ResidualUNet3D as TorchResUNet3D,
+            UNet3D as TorchUNet3D,
+        )
+    finally:
+        sys.path.remove(REFERENCE)
+    return TorchUNet3D, TorchResUNet3D
+
+
+def test_unet3d_pixel_parity(ref_models_3d):
+    import torch
+
+    from mdeical_image_segmentation_tpu.models import get_model
+    from mdeical_image_segmentation_tpu.utils.torch_import import (
+        unet3d_params_from_torch,
+    )
+
+    torch.manual_seed(4)
+    tm = ref_models_3d[0](1, 2, f_maps=8, num_levels=3).eval()
+    x = np.random.RandomState(4).rand(1, 16, 32, 32, 1).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(np.moveaxis(x, -1, 1).copy())).numpy()
+    ref = np.moveaxis(ref, 1, -1)
+
+    ours_model = get_model(
+        {"name": "UNet3D", "in_channels": 1, "out_channels": 2, "f_maps": 8,
+         "num_levels": 3}
+    )
+    variables = unet3d_params_from_torch(
+        _state_dict_np(tm), num_levels=3, layer_order="gcr",
+        basic_module="DoubleConv",
+    )
+    ours = np.asarray(ours_model.apply(variables, jnp.asarray(x), False))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_residual_unet3d_pixel_parity(ref_models_3d):
+    import torch
+
+    from mdeical_image_segmentation_tpu.models import get_model
+    from mdeical_image_segmentation_tpu.utils.torch_import import (
+        unet3d_params_from_torch,
+    )
+
+    torch.manual_seed(5)
+    tm = ref_models_3d[1](1, 1, f_maps=8, num_levels=3).eval()
+    x = np.random.RandomState(5).rand(1, 16, 32, 32, 1).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(np.moveaxis(x, -1, 1).copy())).numpy()
+    ref = np.moveaxis(ref, 1, -1)
+
+    ours_model = get_model(
+        {"name": "ResidualUNet3D", "in_channels": 1, "out_channels": 1,
+         "f_maps": 8, "num_levels": 3}
+    )
+    variables = unet3d_params_from_torch(
+        _state_dict_np(tm), num_levels=3, layer_order="cge",
+        basic_module="ResNetBlock",
+    )
+    ours = np.asarray(ours_model.apply(variables, jnp.asarray(x), False))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
