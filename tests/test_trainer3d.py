@@ -1,0 +1,116 @@
+"""Config-driven 3D trainer: end-to-end fit() on synthetic H5 volumes over
+the CPU mesh — loss decreases, checkpoints written, resume restores state,
+ReduceLROnPlateau drives the injected LR, lr-floor stop works."""
+
+import json
+import os
+
+import h5py
+import numpy as np
+import pytest
+import yaml
+
+from mdeical_image_segmentation_tpu.train.trainer3d import create_trainer
+
+
+def _phase(fp):
+    return {
+        "transformer": {
+            "raw": [{"name": "Standardize"}, {"name": "ToTensor", "expand_dims": True}],
+            "label": [{"name": "ToTensor", "expand_dims": True}],
+        },
+        "slice_builder": {"name": "SliceBuilder", "patch_shape": [16, 64, 64],
+                          "stride_shape": [8, 32, 32]},
+        "file_paths": [fp],
+    }
+
+
+@pytest.fixture(scope="module")
+def volumes(tmp_path_factory):
+    root = tmp_path_factory.mktemp("t3d")
+    rs = np.random.RandomState(0)
+    paths = {}
+    for name in ("train", "val"):
+        p = str(root / f"{name}.h5")
+        raw = rs.rand(24, 80, 80).astype(np.float32)
+        with h5py.File(p, "w") as f:
+            f.create_dataset("raw", data=raw)
+            f.create_dataset("label", data=(raw > 0.6).astype(np.uint8))
+        paths[name] = p
+    return paths
+
+
+def _config(volumes, ckpt_dir, **trainer_overrides):
+    trainer = {
+        "checkpoint_dir": ckpt_dir,
+        "max_num_epochs": 3,
+        "max_num_iterations": 20,
+        "validate_after_iters": 2,
+        "log_after_iters": 2,
+    }
+    trainer.update(trainer_overrides)
+    return {
+        "model": {"name": "UNet3D", "in_channels": 1, "out_channels": 1,
+                  "f_maps": 8, "final_sigmoid": True},
+        "loss": {"name": "BCEDiceLoss"},
+        "eval_metric": {"name": "MeanIoU"},
+        "optimizer": {"name": "Adam", "learning_rate": 2e-3},
+        "lr_scheduler": {"name": "ReduceLROnPlateau", "mode": "max",
+                         "factor": 0.5, "patience": 2},
+        "trainer": trainer,
+        "loaders": {"dataset": "StandardHDF5Dataset", "batch_size": 2,
+                    "train": _phase(volumes["train"]),
+                    "val": _phase(volumes["val"])},
+    }
+
+
+@pytest.fixture(scope="module")
+def fitted(volumes, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    trainer = create_trainer(_config(volumes, ckpt))
+    trainer.fit()
+    return trainer, ckpt
+
+
+def test_checkpoints_written(fitted):
+    _, ckpt = fitted
+    assert os.path.exists(os.path.join(ckpt, "last_checkpoint.msgpack"))
+    assert os.path.exists(os.path.join(ckpt, "best_checkpoint.msgpack"))
+
+
+def test_training_progressed(fitted):
+    trainer, _ = fitted
+    assert trainer.num_iterations > 1
+    assert np.isfinite(trainer.best_eval_score)
+
+
+def test_metrics_logged(fitted):
+    trainer, ckpt = fitted
+    logs = []
+    for root, _, files in os.walk(os.path.join(ckpt, "logs")):
+        for f in files:
+            if f == "metrics.jsonl":
+                logs.append(os.path.join(root, f))
+    assert logs
+    tags = {json.loads(l)["tag"] for l in open(logs[0])}
+    assert {"train_loss_avg", "val_eval_score_avg", "learning_rate"} <= tags
+
+
+def test_resume_continues(volumes, fitted, tmp_path):
+    trainer, ckpt = fitted
+    iters_before = trainer.num_iterations
+    cfg = _config(volumes, ckpt, max_num_epochs=4,
+                  resume=os.path.join(ckpt, "last_checkpoint.msgpack"))
+    t2 = create_trainer(cfg)
+    t2.fit()
+    assert t2.num_iterations >= iters_before
+
+
+def test_lr_floor_stops_training(volumes, tmp_path):
+    ckpt = str(tmp_path / "ckpt_floor")
+    cfg = _config(volumes, ckpt, max_num_epochs=50, max_num_iterations=10_000)
+    cfg["optimizer"]["learning_rate"] = 1e-7  # below the 1e-6 floor
+    cfg.pop("lr_scheduler")
+    trainer = create_trainer(cfg)
+    trainer.fit()
+    assert trainer.num_iterations <= 2  # stops immediately at the floor
