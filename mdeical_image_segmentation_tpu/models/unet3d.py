@@ -51,6 +51,10 @@ class AbstractUNet(nn.Module):
     dropout_prob: Union[float, Tuple[float, float]] = 0.1
     is3d: bool = True
     dtype: Optional[Any] = None
+    # rematerialize encoder/decoder blocks in the backward pass: trades ~30%
+    # extra FLOPs for activation memory — the standard lever for big 3D
+    # patches (jax.checkpoint / nn.remat)
+    remat: bool = False
 
     def _f_maps(self) -> List[int]:
         f_maps = self.f_maps
@@ -67,12 +71,18 @@ class AbstractUNet(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         f_maps = self._f_maps()
+        if self.remat:
+            # `train` is python control flow inside the blocks → static
+            encoder_cls = nn.remat(Encoder, static_argnums=(2,))
+            decoder_cls = nn.remat(Decoder, static_argnums=(3,))
+        else:
+            encoder_cls, decoder_cls = Encoder, Decoder
 
         # Encoder path (first level without pooling; reference
         # create_encoders, buildingblocks.py:553-601).
         encoders_features = []
         for i, out_feature_num in enumerate(f_maps):
-            x = Encoder(
+            x = encoder_cls(
                 out_channels=out_feature_num,
                 conv_kernel_size=self.conv_kernel_size,
                 apply_pooling=(i > 0),
@@ -93,7 +103,7 @@ class AbstractUNet(nn.Module):
         # Decoder path (reference create_decoders, buildingblocks.py:604-639).
         reversed_f_maps = list(reversed(f_maps))
         for i, encoder_features in enumerate(encoders_features):
-            x = Decoder(
+            x = decoder_cls(
                 out_channels=reversed_f_maps[i + 1],
                 conv_kernel_size=self.conv_kernel_size,
                 basic_module=self.basic_module,
@@ -178,7 +188,7 @@ _MODEL_FIELDS = {
     "in_channels", "out_channels", "final_sigmoid", "f_maps", "layer_order",
     "num_groups", "num_levels", "is_segmentation", "conv_kernel_size",
     "pool_kernel_size", "conv_padding", "conv_upscale", "upsample",
-    "dropout_prob", "dtype",
+    "dropout_prob", "dtype", "remat",
 }
 
 

@@ -56,6 +56,7 @@ class TrainingArguments:
     max_steps: int = -1  # >0 overrides epochs
     per_device_train_batch_size: int = 5
     per_device_eval_batch_size: int = 5
+    gradient_accumulation_steps: int = 1
     save_steps: int = 1000
     save_total_limit: int = 5
     warmup_ratio: float = 0.001
@@ -138,10 +139,17 @@ class Trainer:
             ],
             [max(warmup, 1)],
         )
-        return optax.adamw(
+        opt = optax.adamw(
             schedule, b1=0.9, b2=0.999, eps=1e-8,
             weight_decay=self.args.weight_decay,
         )
+        if self.args.gradient_accumulation_steps > 1:
+            # micro-batch gradients averaged over k steps; the parameter
+            # update (and the schedule) advance every k-th call
+            opt = optax.MultiSteps(
+                opt, every_k_schedule=self.args.gradient_accumulation_steps
+            )
+        return opt
 
     def _init_state(self, sample_images: np.ndarray, total_steps: int):
         self._optimizer = self._build_optimizer(total_steps)

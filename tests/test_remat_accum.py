@@ -1,0 +1,56 @@
+"""Rematerialization and gradient accumulation: numerics preserved."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mdeical_image_segmentation_tpu.models import get_model
+
+
+def test_remat_forward_and_grads_match(rng):
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 8, 16, 16, 1), jnp.float32)
+    t = (x > 0.5).astype(jnp.float32)
+    cfg = {"name": "UNet3D", "in_channels": 1, "out_channels": 1, "f_maps": 8,
+           "num_levels": 2, "layer_order": "cr"}
+    plain = get_model(cfg)
+    remat = get_model({**cfg, "remat": True})
+    v = plain.init(rng, x, True)
+
+    def loss(model, params):
+        out = model.apply({"params": params}, x, True)
+        return jnp.mean((jax.nn.sigmoid(out) - t) ** 2)
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(plain, p))(v["params"])
+    l2, g2 = jax.value_and_grad(lambda p: loss(remat, p))(v["params"])
+    assert float(l1) == pytest.approx(float(l2), rel=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-7)
+
+
+def test_gradient_accumulation_trains(tmp_path):
+    """Accumulated micro-batches produce a working training run."""
+    from mdeical_image_segmentation_tpu.data import SyntheticSliceDataset
+    from mdeical_image_segmentation_tpu.models import UNetConfig, UNetModel
+    from mdeical_image_segmentation_tpu.train import Trainer, TrainingArguments
+
+    ds = SyntheticSliceDataset(n_samples=32, resolution=16)
+    model = UNetModel(
+        UNetConfig(in_channels=1, out_channels=1, unet_type="UNet",
+                   base_features=2)
+    )
+    args = TrainingArguments(
+        output_dir=str(tmp_path), max_steps=16, per_device_train_batch_size=1,
+        gradient_accumulation_steps=4, eval_strategy="no", logging_steps=0,
+        save_steps=0, learning_rate=3e-3, augment=False,
+    )
+    trainer = Trainer(model, args, ds)
+    out = trainer.train()
+    assert out.global_step == 16
+    # MultiSteps: the inner optimizer advanced 16/4 = 4 real updates
+    inner_steps = int(jax.device_get(
+        trainer.state.opt_state.gradient_step
+    ))
+    assert inner_steps == 4
