@@ -55,6 +55,7 @@ class BatchLoader:
         drop_last: Optional[bool] = None,
         collator: Optional[SliceCollator] = None,
         prefetch: int = 2,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -63,6 +64,8 @@ class BatchLoader:
         self.drop_last = shuffle if drop_last is None else drop_last
         self.collator = collator or SliceCollator()
         self.prefetch = prefetch
+        self.num_workers = num_workers
+        self._pool = None
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -92,7 +95,15 @@ class BatchLoader:
         return batches
 
     def _assemble(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
-        return self.collator([self.dataset[int(i)] for i in idx])
+        if self.num_workers > 0:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            samples = list(self._pool.map(lambda i: self.dataset[int(i)], idx))
+        else:
+            samples = [self.dataset[int(i)] for i in idx]
+        return self.collator(samples)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         batches = self._index_batches()

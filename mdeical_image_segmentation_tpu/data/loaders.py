@@ -84,6 +84,7 @@ class VolumeLoader:
         collate_fn: Callable = default_prediction_collate,
         prefetch: int = 2,
         drop_last: bool = False,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -92,6 +93,11 @@ class VolumeLoader:
         self.collate_fn = collate_fn
         self.prefetch = prefetch
         self.drop_last = drop_last
+        # intra-batch sample parallelism: the heavy host transforms (elastic
+        # deformation ≈1s/patch, scipy C code releasing the GIL) fan out over
+        # a thread pool — the torchless replacement for DataLoader workers
+        self.num_workers = num_workers
+        self._pool = None
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -123,8 +129,19 @@ class VolumeLoader:
                 reps = -(-self.batch_size // n)
                 batches[0] = np.tile(order, reps)[: self.batch_size]
 
+        if self.num_workers > 0 and self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+
         def assemble(idx):
-            return self.collate_fn([self.dataset[int(i)] for i in idx])
+            if self._pool is not None:
+                samples = list(
+                    self._pool.map(lambda i: self.dataset[int(i)], idx)
+                )
+            else:
+                samples = [self.dataset[int(i)] for i in idx]
+            return self.collate_fn(samples)
 
         if self.prefetch <= 0:
             for idx in batches:
@@ -184,16 +201,18 @@ def get_train_loaders(config: Dict[str, Any], n_devices: int = 1) -> Dict[str, V
             f"{n_devices} devices available. Using batch_size = {n_devices} * {batch_size}"
         )
         batch_size = batch_size * n_devices
-    prefetch = loaders_config.get("num_workers", 1) and 2
+    num_workers = loaders_config.get("num_workers", 1)
+    logger.info(f"Number of workers for train/val dataloader: {num_workers}")
+    prefetch = 2 if num_workers else 0
 
     return {
         "train": VolumeLoader(
             ConcatDataset(train_datasets), batch_size=batch_size, shuffle=True,
-            prefetch=prefetch, drop_last=True,
+            prefetch=prefetch, drop_last=True, num_workers=num_workers,
         ),
         "val": VolumeLoader(
             ConcatDataset(val_datasets), batch_size=batch_size, shuffle=False,
-            prefetch=prefetch,
+            prefetch=prefetch, num_workers=num_workers,
         ),
     }
 
