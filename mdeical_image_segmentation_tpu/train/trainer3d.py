@@ -164,6 +164,25 @@ class UNetTrainer:
 
         self._resume_path = resume
         self._pre_trained_path = pre_trained
+        # preemption handling (absent in the reference, SURVEY.md §5): when
+        # install_preemption_handler() is active, SIGTERM/SIGINT request a
+        # graceful stop — the loop checkpoints and exits instead of dying
+        # mid-step, and `resume` picks up where it left off.
+        self._preempted = False
+
+    def request_stop(self):
+        """Ask the training loop to checkpoint and stop at the next step."""
+        self._preempted = True
+
+    def install_preemption_handler(self, signals=None):
+        """Route SIGTERM/SIGINT to a graceful checkpoint-and-stop."""
+        import signal as _signal
+
+        if signals is None:
+            signals = (_signal.SIGTERM, _signal.SIGINT)
+        for sig in signals:
+            _signal.signal(sig, lambda *_: self.request_stop())
+        logger.info(f"preemption handler installed for {signals}")
 
     # -- state management ----------------------------------------------------
 
@@ -375,6 +394,11 @@ class UNetTrainer:
                 )
                 self._log_stats("train", train_losses.avg, train_eval_scores.avg)
                 self._log_images(input, target, output, "train_")
+
+            if self._preempted:
+                logger.info("Preemption requested: checkpointing and stopping")
+                self._save_checkpoint(is_best=False)
+                return True
 
             if self.should_stop():
                 return True

@@ -114,3 +114,25 @@ def test_lr_floor_stops_training(volumes, tmp_path):
     trainer = create_trainer(cfg)
     trainer.fit()
     assert trainer.num_iterations <= 2  # stops immediately at the floor
+
+
+def test_preemption_checkpoints_and_resumes(volumes, tmp_path):
+    """SIGTERM-style stop: checkpoint written mid-training, resume continues."""
+    import threading
+
+    ckpt = str(tmp_path / "ckpt_preempt")
+    cfg = _config(volumes, ckpt, max_num_epochs=100, max_num_iterations=10_000,
+                  validate_after_iters=10_000, log_after_iters=10_000)
+    trainer = create_trainer(cfg)
+    trainer.install_preemption_handler(signals=())  # no real signals in test
+    threading.Timer(4.0, trainer.request_stop).start()
+    trainer.fit()
+    assert os.path.exists(os.path.join(ckpt, "last_checkpoint.msgpack"))
+    iters = trainer.num_iterations
+    assert iters < 10_000  # stopped early
+
+    cfg2 = _config(volumes, ckpt, max_num_epochs=100, max_num_iterations=iters + 2,
+                   resume=os.path.join(ckpt, "last_checkpoint.msgpack"))
+    t2 = create_trainer(cfg2)
+    t2.fit()
+    assert t2.num_iterations >= iters
