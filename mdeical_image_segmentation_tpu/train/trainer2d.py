@@ -120,6 +120,18 @@ class Trainer:
         self._eval_step = None
         self._optimizer = None
 
+    def install_preemption_handler(self, signals=None):
+        """SIGTERM/SIGINT → save the model and stop at the next step."""
+        import signal as _signal
+
+        def _handler(*_):
+            self.control.should_save = True
+            self.control.should_stop = True
+
+        for sig in signals or (_signal.SIGTERM, _signal.SIGINT):
+            _signal.signal(sig, _handler)
+        logger.info("preemption handler installed")
+
     # -- setup ---------------------------------------------------------------
 
     def _num_train_steps(self) -> int:
