@@ -19,8 +19,8 @@ def _phase(fp):
             "raw": [{"name": "Standardize"}, {"name": "ToTensor", "expand_dims": True}],
             "label": [{"name": "ToTensor", "expand_dims": True}],
         },
-        "slice_builder": {"name": "SliceBuilder", "patch_shape": [16, 64, 64],
-                          "stride_shape": [8, 32, 32]},
+        "slice_builder": {"name": "SliceBuilder", "patch_shape": [8, 32, 32],
+                          "stride_shape": [8, 32, 32], "skip_shape_check": True},
         "file_paths": [fp],
     }
 
@@ -32,7 +32,7 @@ def volumes(tmp_path_factory):
     paths = {}
     for name in ("train", "val"):
         p = str(root / f"{name}.h5")
-        raw = rs.rand(24, 80, 80).astype(np.float32)
+        raw = rs.rand(16, 64, 64).astype(np.float32)
         with h5py.File(p, "w") as f:
             f.create_dataset("raw", data=raw)
             f.create_dataset("label", data=(raw > 0.6).astype(np.uint8))
@@ -51,7 +51,7 @@ def _config(volumes, ckpt_dir, **trainer_overrides):
     trainer.update(trainer_overrides)
     return {
         "model": {"name": "UNet3D", "in_channels": 1, "out_channels": 1,
-                  "f_maps": 8, "final_sigmoid": True},
+                  "f_maps": 8, "num_levels": 2, "final_sigmoid": True},
         "loss": {"name": "BCEDiceLoss"},
         "eval_metric": {"name": "MeanIoU"},
         "optimizer": {"name": "Adam", "learning_rate": 2e-3},
@@ -125,7 +125,7 @@ def test_preemption_checkpoints_and_resumes(volumes, tmp_path):
                   validate_after_iters=10_000, log_after_iters=10_000)
     trainer = create_trainer(cfg)
     trainer.install_preemption_handler(signals=())  # no real signals in test
-    threading.Timer(4.0, trainer.request_stop).start()
+    threading.Timer(2.0, trainer.request_stop).start()
     trainer.fit()
     assert os.path.exists(os.path.join(ckpt, "last_checkpoint.msgpack"))
     iters = trainer.num_iterations
