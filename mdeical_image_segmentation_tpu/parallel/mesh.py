@@ -75,3 +75,31 @@ def local_batch_size(mesh: Mesh, per_device: int) -> int:
     """Global batch for a given per-device batch (HF `per_device_*_batch_size`
     semantics, reference train.py:48-58)."""
     return per_device * mesh.shape[DATA_AXIS]
+
+
+def device_prefetch(iterator, mesh: Mesh, size: int = 2):
+    """Wrap a host batch iterator so device_put runs `size` batches ahead.
+
+    H2D transfers overlap with device compute on the preceding steps — the
+    double-buffering that keeps the input pipeline from serializing with
+    the train step (BASELINE north star: 'never starves the device').
+    """
+    import collections
+
+    queue = collections.deque()
+
+    def _put(batch):
+        return shard_batch(mesh, batch)
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            queue.append(_put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        try:
+            queue.append(_put(next(it)))
+        except StopIteration:
+            pass
+        yield queue.popleft()

@@ -261,7 +261,8 @@ class Trainer:
         done = False
         profiling = False
         while not done:
-            for batch in loader:
+            # H2D transfers run two batches ahead of the compute stream
+            for sharded in mesh_lib.device_prefetch(loader, self.mesh):
                 if (
                     self.args.profile_dir
                     and global_step == self.args.profile_start_step
@@ -269,7 +270,6 @@ class Trainer:
                 ):
                     jax.profiler.start_trace(self.args.profile_dir)
                     profiling = True
-                sharded = mesh_lib.shard_batch(self.mesh, batch)
                 self.state, loss = self._train_step(self.state, sharded, rng)
                 global_step += 1
                 if (

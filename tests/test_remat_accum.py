@@ -54,3 +54,38 @@ def test_gradient_accumulation_trains(tmp_path):
         trainer.state.opt_state.gradient_step
     ))
     assert inner_steps == 4
+
+
+def test_orbax_checkpointer_roundtrip(tmp_path):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from mdeical_image_segmentation_tpu.train.orbax_ckpt import OrbaxCheckpointer
+
+    ck = OrbaxCheckpointer(str(tmp_path / "orbax"))
+    state = {"params": {"w": jnp.arange(8.0)}, "step": np.int64(7), "best": 0.5}
+    ck.save(state, is_best=True)
+    r = ck.restore(template=state)
+    np.testing.assert_array_equal(np.asarray(r["params"]["w"]), np.arange(8.0))
+    assert ck.exists() and ck.exists(best=True)
+    state2 = {"params": {"w": jnp.ones(8)}, "step": np.int64(9), "best": 0.7}
+    ck.save(state2)
+    r2 = ck.restore(template=state2)
+    assert int(np.asarray(r2["step"])) == 9
+    # best still holds the earlier state
+    rb = ck.restore(template=state, best=True)
+    assert int(np.asarray(rb["step"])) == 7
+
+
+def test_device_prefetch_preserves_order():
+    import numpy as np
+
+    from mdeical_image_segmentation_tpu.parallel import make_mesh
+    from mdeical_image_segmentation_tpu.parallel.mesh import device_prefetch
+
+    mesh = make_mesh()
+    batches = [{"images": np.full((8, 2, 2, 1), i, np.float32)} for i in range(5)]
+    out = list(device_prefetch(iter(batches), mesh, size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert float(np.asarray(b["images"])[0, 0, 0, 0]) == i
