@@ -48,7 +48,7 @@ def build_step(base=64, batch=32, res=256):
 
 def parse_xplane(logdir):
     """Top ops by self time from the device plane of the xplane trace."""
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     files = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
     if not files:
