@@ -74,22 +74,20 @@ def main():
     _ = float((jnp.ones((64, 64)) @ jnp.ones((64, 64))).sum())
     log("claim_s", round(time.time() - t0, 1))
 
+    # baseline (fresh state per experiment — donation deletes the inputs)
     step, params, opt_state, x, y = build()
-
-    # baseline
     jstep = jax.jit(step, donate_argnums=(0, 1))
     log("baseline_ms", round(time_steps(jstep, params, opt_state, x, y), 2))
 
     # AUTO layouts on the donated state (params + opt_state), default for data
     auto = Format(Layout.AUTO)
     try:
+        step, params, opt_state, x, y = build()
         jstep_auto = jax.jit(
             step, donate_argnums=(0, 1),
             in_shardings=(auto, auto, None, None),
             out_shardings=(auto, auto, None),
         )
-        # compile to discover layouts, then place inputs accordingly
-        compiled = jstep_auto.lower(params, opt_state, x, y).compile()
         ms = time_steps(jstep_auto, params, opt_state, x, y)
         log("auto_layout_ms", round(ms, 2))
     except Exception as e:
@@ -102,6 +100,7 @@ def main():
 
     # combined
     try:
+        step2, params2, opt_state2, x2, y2 = build(mu_dtype=jnp.bfloat16)
         jstep3 = jax.jit(
             step2, donate_argnums=(0, 1),
             in_shardings=(auto, auto, None, None),

@@ -145,3 +145,41 @@ def test_stats_percentiles(server):
     assert status == 200
     assert body["count"] >= 10
     assert "p50_ms" in body and body["p50_ms"] > 0
+
+
+def test_register_unet3d_slice_model(tmp_path):
+    """3D-family 2D-variant model (UNet2D) served from a training checkpoint."""
+    import jax
+
+    from mdeical_image_segmentation_tpu.models import get_model
+    from mdeical_image_segmentation_tpu.serve import ModelRegistry, SegmentationServer
+    from mdeical_image_segmentation_tpu.train import save_checkpoint
+
+    mc = {"name": "UNet2D", "in_channels": 1, "out_channels": 1, "f_maps": 8,
+          "num_levels": 2}
+    model = get_model(mc)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)), False)
+    save_checkpoint(
+        {"num_epochs": 0, "num_iterations": 0,
+         "model_state_dict": {"params": variables["params"], "batch_stats": {}},
+         "best_eval_score": 0.0, "optimizer_state_dict": {}},
+        is_best=True, checkpoint_dir=str(tmp_path / "ck"),
+    )
+    registry = ModelRegistry()
+    registry.register_unet3d(
+        "slice3d", str(tmp_path / "ck" / "best_checkpoint.msgpack"), mc,
+        resolution=64,
+    )
+    srv = SegmentationServer(registry, output_dir=str(tmp_path / "masks"))
+    httpd = srv.start(host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    try:
+        img = tmp_path / "img.png"
+        Image.fromarray(
+            (np.random.RandomState(0).rand(64, 64) * 255).astype(np.uint8)
+        ).save(img)
+        status, body = _post(port, {"image_path": str(img), "model": "slice3d"})
+        assert status == 200, body
+        assert os.path.exists(body["response"])
+    finally:
+        srv.stop()
