@@ -112,14 +112,77 @@ def bench_unet3d(f_maps: int = 32, batch: int = 2, patch=(64, 128, 128),
     }
 
 
+def bench_unet3plus(batch: int = 8, res: int = 256, steps: int = 15):
+    """The reference's model of record (scripts/train.sh: UNet_3Plus).
+
+    Measured at 256x256: the 512x512 variant currently fails in this
+    environment's remote XLA compile service (the 25-branch full-scale-skip
+    decoder at 512^2 produces a very large program) — tracked in PERF.md."""
+    from mdeical_image_segmentation_tpu.models import UNetConfig, UNetModel
+
+    model = UNetModel(
+        UNetConfig(in_channels=3, out_channels=1, unet_type="UNet_3Plus",
+                   compute_dtype="bfloat16")
+    )
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(batch, res, res, 3), jnp.float32)
+    y = (x[..., :1] > 0.5).astype(jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x[:1])
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    opt = optax.adamw(5e-3, weight_decay=1e-3)
+    opt_state = opt.init(params)
+
+    def step(params, batch_stats, opt_state, x, y):
+        def loss_fn(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats}, x, y, train=True,
+                mutable=["batch_stats"],
+            )
+            return out.loss, mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, opt_state, loss
+
+    jstep = jax.jit(step, donate_argnums=(0, 1, 2))
+    params, batch_stats, opt_state, loss = jstep(params, batch_stats, opt_state, x, y)
+    float(loss)
+    t0 = time.time()
+    for _ in range(steps):
+        params, batch_stats, opt_state, loss = jstep(
+            params, batch_stats, opt_state, x, y
+        )
+    float(loss)
+    dt = time.time() - t0
+    return {
+        "images_per_sec": steps * batch / dt,
+        "ms_per_step": dt / steps * 1e3,
+        "batch": batch,
+    }
+
+
 def main():
+    import os
+
+    # Extras stop when the remaining budget runs out (remote-compile latency
+    # in this environment is variable); the headline metric always runs.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 480))
+    t_start = time.time()
+
     device = jax.devices()[0]
     headline = bench_unet2d(base_features=64, batch=32, steps=40)
-    fast = bench_unet2d(base_features=16, batch=128, steps=20)
-    try:
-        vol = bench_unet3d()
-    except Exception as e:  # keep the headline robust to 3D OOM etc.
-        vol = {"error": f"{type(e).__name__}: {e}"}
+
+    def extra(fn, *args, **kwargs):
+        if time.time() - t_start > budget_s:
+            return {"skipped": "time budget"}
+        try:
+            return fn(*args, **kwargs)
+        except Exception as e:
+            return {"error": f"{type(e).__name__}: {e}"}
+
+    fast = extra(bench_unet2d, base_features=16, batch=128, steps=20)
+    ref_config = extra(bench_unet3plus)
+    vol = extra(bench_unet3d)
 
     value = round(headline["slices_per_sec"], 1)
     print(
@@ -133,7 +196,8 @@ def main():
                     "device": str(device),
                     "ms_per_step": round(headline["ms_per_step"], 2),
                     "batch": headline["batch"],
-                    "unet2d_base16_slices_per_sec": round(fast["slices_per_sec"], 1),
+                    "unet2d_base16": ({k: round(v, 1) if isinstance(v, float) else v for k, v in fast.items()}),
+                    "unet3plus_256px_bf16": ref_config,
                     "unet3d_fmaps32_64x128x128": vol,
                 },
             }

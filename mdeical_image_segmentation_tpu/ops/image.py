@@ -98,9 +98,13 @@ def avg_pool_nd(
     nsp = x.ndim - 2
     win = _tuplify(window, nsp)
     strd = _tuplify(stride if stride is not None else window, nsp)
+    # NOTE: the init value must be a *literal* zero (not a traced array) so
+    # lax dispatches to the monoid reduce_window_sum, which has a reverse-mode
+    # transpose rule; a traced init falls into the generic reduce_window path
+    # that fails to linearize under jit.
     summed = lax.reduce_window(
         x,
-        jnp.zeros((), x.dtype),
+        np.zeros((), x.dtype),
         lax.add,
         window_dimensions=(1, *win, 1),
         window_strides=(1, *strd, 1),

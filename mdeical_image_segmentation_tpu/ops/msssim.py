@@ -83,9 +83,11 @@ def _ssim_maps(
 def _avg_pool2_padded(x: jax.Array) -> jax.Array:
     """2x2/2 average pool with symmetric zero pad (s % 2), divisor always 4."""
     pads = [(s % 2, s % 2) for s in x.shape[1:3]]
+    # literal zero init → monoid reduce_window_sum (reverse-differentiable
+    # under jit; a traced init hits the generic path with no transpose rule)
     summed = lax.reduce_window(
         x,
-        jnp.zeros((), x.dtype),
+        np.zeros((), x.dtype),
         lax.add,
         window_dimensions=(1, 2, 2, 1),
         window_strides=(1, 2, 2, 1),

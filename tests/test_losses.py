@@ -190,3 +190,39 @@ class TestFactory:
         t = jnp.asarray(_binary((1, 4, 4, 3)))
         inner = DiceLoss()(x, t[..., :-1])
         assert float(loss(x, t)) == pytest.approx(float(inner), rel=1e-6)
+
+
+class TestJittedTraining:
+    def test_jit_grad_segmentation_loss_through_bn_model(self):
+        """Regression: jit(value_and_grad) of the hybrid loss through a
+        BatchNorm UNet-3+ must compile (a traced reduce_window init value
+        once broke reverse-mode linearization under jit)."""
+        import jax
+        import optax
+
+        from mdeical_image_segmentation_tpu.models import UNetConfig, UNetModel
+
+        model = UNetModel(
+            UNetConfig(in_channels=1, out_channels=1, unet_type="UNet_3Plus",
+                       compute_dtype="bfloat16")
+        )
+        x = jnp.asarray(RS.rand(1, 192, 192, 1), jnp.float32)
+        t = (x > 0.5).astype(jnp.float32)
+        v = model.init(jax.random.PRNGKey(0), x)
+        opt = optax.adamw(1e-3)
+        ost = opt.init(v["params"])
+
+        def step(params, bs, ost):
+            def loss_fn(p):
+                out, mut = model.apply(
+                    {"params": p, "batch_stats": bs}, x, t, train=True,
+                    mutable=["batch_stats"],
+                )
+                return out.loss, mut["batch_stats"]
+
+            (loss, nbs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            u, ost = opt.update(grads, ost, params)
+            return optax.apply_updates(params, u), nbs, ost, loss
+
+        out = jax.jit(step)(v["params"], v["batch_stats"], ost)
+        assert np.isfinite(float(out[3]))
