@@ -14,7 +14,7 @@ from typing import List, Tuple
 import imageio
 import numpy as np
 
-from ..train.logging_utils import get_logger
+from ..logging_utils import get_logger
 from ..transforms.volume import Transformer
 from .hdf5 import ConfigDataset
 from .volume_utils import calculate_stats

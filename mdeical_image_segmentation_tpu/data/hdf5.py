@@ -21,7 +21,7 @@ from typing import Any, Dict, List, Optional
 import h5py
 import numpy as np
 
-from ..train.logging_utils import get_logger
+from ..logging_utils import get_logger
 from ..transforms.volume import Transformer
 from .slice_builder import get_slice_builder
 from .volume_utils import calculate_stats, create_padded_indexes, mirror_pad, traverse_h5_paths

@@ -23,7 +23,7 @@ from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
 import numpy as np
 
 from ..configs.registry import Registry
-from ..train.logging_utils import get_logger
+from ..logging_utils import get_logger
 
 logger = get_logger("Dataset")
 

@@ -18,7 +18,7 @@ from typing import Any, Dict, List, Optional, Tuple
 import numpy as np
 
 from ..configs.registry import Registry
-from ..train.logging_utils import get_logger
+from ..logging_utils import get_logger
 
 logger = get_logger("Dataset")
 

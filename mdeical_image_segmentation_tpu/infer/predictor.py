@@ -40,7 +40,7 @@ import numpy as np
 
 from ..data.hdf5 import AbstractHDF5Dataset
 from ..data.slice_builder import SliceBuilder
-from ..train.logging_utils import get_logger
+from ..logging_utils import get_logger
 from ..transforms.skimage_compat import label as cc_label
 
 logger = get_logger("UNetPredictor")

@@ -16,7 +16,7 @@ import numpy as np
 
 from ..configs.registry import Registry
 from ..losses.losses3d import compute_per_channel_dice
-from ..train.logging_utils import get_logger
+from ..logging_utils import get_logger
 from ..transforms.skimage_compat import label as cc_label
 from ..utils.onehot import expand_as_one_hot
 from .seg_compat import adapted_rand_error, mean_squared_error, peak_signal_noise_ratio

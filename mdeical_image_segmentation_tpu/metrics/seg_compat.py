@@ -102,6 +102,8 @@ def peak_signal_noise_ratio(
     if data_range is None:
         data_range = _data_range(image_true)
     err = mean_squared_error(image_true, image_test)
+    if err == 0:
+        return float("inf")
     return float(10 * np.log10((data_range**2) / err))
 
 

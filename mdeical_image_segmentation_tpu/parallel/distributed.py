@@ -25,7 +25,7 @@ from typing import Optional
 
 import jax
 
-from ..train.logging_utils import get_logger
+from ..logging_utils import get_logger
 
 logger = get_logger("distributed")
 

@@ -36,7 +36,7 @@ from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..train.logging_utils import get_logger
+from ..logging_utils import get_logger
 
 logger = get_logger("serve")
 

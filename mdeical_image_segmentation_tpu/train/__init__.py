@@ -10,7 +10,7 @@ from .trainer2d import CustomTrainer, Trainer, TrainingArguments, TrainOutput
 from .trainer3d import UNetTrainer, create_trainer
 from .checkpoint import load_checkpoint, save_checkpoint, save_network_output
 from .profiling import ProfiledSection, StepTimer, device_memory_summary, trace
-from .logging_utils import (
+from ..logging_utils import (
     MetricWriter,
     RunningAverage,
     TensorboardFormatter,

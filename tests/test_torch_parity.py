@@ -281,3 +281,39 @@ def test_residual_unet3d_pixel_parity(ref_models_3d):
     )
     ours = np.asarray(ours_model.apply(variables, jnp.asarray(x), False))
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_cgm_pixel_parity(ref_models):
+    """CGM variant: gated sigmoid outputs match the torch reference."""
+    import torch
+
+    sys.path.insert(0, REFERENCE)
+    try:
+        from model.unet2d.unet import UNet_3Plus_DeepSup_CGM as TorchCGM
+    finally:
+        sys.path.remove(REFERENCE)
+
+    from mdeical_image_segmentation_tpu.models import UNet3PlusDeepSupCGM
+    from mdeical_image_segmentation_tpu.utils.torch_import import (
+        unet3plus_params_from_torch,
+    )
+
+    torch.manual_seed(6)
+    tm = TorchCGM(1, 1).eval()
+    x = np.random.RandomState(6).rand(1, 64, 64, 1).astype(np.float32)
+    with torch.no_grad():
+        refs = [
+            np.moveaxis(t.numpy(), 1, -1)
+            for t in tm(torch.from_numpy(np.moveaxis(x, -1, 1).copy()))
+        ]
+
+    ours_model = UNet3PlusDeepSupCGM(in_channels=1, n_classes=1)
+    variables = unet3plus_params_from_torch(
+        _state_dict_np(tm), variant="UNet_3Plus_DeepSup_CGM"
+    )
+    ours = ours_model.apply(variables, jnp.asarray(x), False)
+    for i, (o, r) in enumerate(zip(ours, refs)):
+        np.testing.assert_allclose(
+            np.asarray(o), r, rtol=1e-4, atol=1e-4,
+            err_msg=f"CGM head d{i + 1} mismatch",
+        )
