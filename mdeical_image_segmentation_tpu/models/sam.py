@@ -427,3 +427,53 @@ def sam_loss(
     )
     iou_mse = jnp.square(iou_pred[:, 0] - jax.lax.stop_gradient(gt_iou)).mean()
     return focal_weight * focal + dice + iou_mse
+
+
+# ---------------------------------------------------------------------------
+# persistence (serving / checkpointing)
+# ---------------------------------------------------------------------------
+
+
+def save_sam(path: str, model: SAMMed2D, variables) -> None:
+    """Write a SAM bundle (config.json + params.msgpack)."""
+    import json
+    import os
+
+    import flax
+
+    os.makedirs(path, exist_ok=True)
+    config = {
+        "img_size": model.img_size,
+        "in_channels": model.in_channels,
+        "embed_dim": model.embed_dim,
+        "encoder_depth": model.encoder_depth,
+        "encoder_heads": model.encoder_heads,
+        "prompt_embed_dim": model.prompt_embed_dim,
+        "decoder_depth": model.decoder_depth,
+        "num_multimask_outputs": model.num_multimask_outputs,
+    }
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(config, f, indent=2)
+    with open(os.path.join(path, "params.msgpack"), "wb") as f:
+        f.write(flax.serialization.to_bytes(variables))
+
+
+def load_sam(path: str):
+    """Restore a SAM bundle saved by save_sam → (model, variables)."""
+    import json
+    import os
+
+    import flax
+    import jax
+
+    with open(os.path.join(path, "config.json")) as f:
+        config = json.load(f)
+    model = SAMMed2D(**config)
+    img = jnp.zeros((1, config["img_size"], config["img_size"],
+                     config["in_channels"]), jnp.float32)
+    pts = jnp.zeros((1, 1, 2))
+    lbl = jnp.ones((1, 1), jnp.int32)
+    template = model.init(jax.random.PRNGKey(0), img, pts, lbl)
+    with open(os.path.join(path, "params.msgpack"), "rb") as f:
+        variables = flax.serialization.from_bytes(template, f.read())
+    return model, variables

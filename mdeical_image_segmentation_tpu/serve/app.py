@@ -44,10 +44,15 @@ logger = get_logger("serve")
 @dataclass
 class ModelEntry:
     name: str
-    forward: Callable[[np.ndarray], np.ndarray]  # (N,H,W,C)->(N,H,W,Cout) probs
+    # dense models: forward(images) -> (N,H,W,Cout) probabilities.
+    # promptable models (kind="promptable"): forward(images, points, labels
+    # [, boxes]) -> (N,H,W) probabilities.
+    forward: Callable[..., np.ndarray]
     in_channels: int
     resolution: int
     threshold: float = 0.5
+    kind: str = "dense"
+    max_points: int = 8
 
 
 class ModelRegistry:
@@ -130,6 +135,44 @@ class ModelRegistry:
             default=default,
         )
 
+    def register_sam(self, name: str, path: str, *, threshold: float = 0.5,
+                     max_points: int = 8, default: bool = False):
+        """Load a promptable SAM bundle saved with models.sam.save_sam."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.sam import load_sam
+        from ..ops.image import resize_bilinear
+
+        model, variables = load_sam(path)
+        res = model.img_size
+
+        @jax.jit
+        def fwd_points(img, pts, lbl):
+            masks, _ = model.apply(variables, img, pts, lbl)
+            up = resize_bilinear(jnp.transpose(masks, (0, 2, 3, 1)), (res, res))
+            return jax.nn.sigmoid(up[..., 0])
+
+        @jax.jit
+        def fwd_box(img, pts, lbl, box):
+            masks, _ = model.apply(variables, img, pts, lbl, box)
+            up = resize_bilinear(jnp.transpose(masks, (0, 2, 3, 1)), (res, res))
+            return jax.nn.sigmoid(up[..., 0])
+
+        def forward(*xs):
+            xs = tuple(jnp.asarray(a) for a in xs)
+            out = fwd_box(*xs) if len(xs) == 4 else fwd_points(*xs)
+            return np.asarray(out)
+
+        self.register(
+            ModelEntry(
+                name=name, forward=forward, in_channels=model.in_channels,
+                resolution=res, threshold=threshold, kind="promptable",
+                max_points=max_points,
+            ),
+            default=default,
+        )
+
     def get(self, name: Optional[str]) -> ModelEntry:
         if name is None:
             name = self.default
@@ -145,7 +188,7 @@ class ModelRegistry:
 
 @dataclass
 class _Request:
-    image: np.ndarray
+    payload: tuple  # per-sample arrays, stacked per position across the batch
     event: threading.Event = field(default_factory=threading.Event)
     result: Optional[np.ndarray] = None
     error: Optional[str] = None
@@ -163,15 +206,17 @@ class BatchingInferenceEngine:
         self._lock = threading.Lock()
         self._running = True
 
-    def _queue_for(self, model_name: str) -> "queue.Queue[_Request]":
+    def _queue_for(self, key, model_name: str) -> "queue.Queue[_Request]":
+        # one worker per (model, payload arity): requests with and without a
+        # box prompt compile to different programs and batch separately
         with self._lock:
-            if model_name not in self._queues:
+            if key not in self._queues:
                 q: "queue.Queue[_Request]" = queue.Queue()
-                self._queues[model_name] = q
+                self._queues[key] = q
                 threading.Thread(
                     target=self._worker, args=(model_name, q), daemon=True
                 ).start()
-            return self._queues[model_name]
+            return self._queues[key]
 
     def _worker(self, model_name: str, q: "queue.Queue[_Request]"):
         entry = self.registry.get(model_name)
@@ -191,8 +236,12 @@ class BatchingInferenceEngine:
                 except queue.Empty:
                     break
             try:
-                x = np.stack([r.image for r in batch], axis=0)
-                probs = entry.forward(x)
+                arity = len(batch[0].payload)
+                stacked = [
+                    np.stack([r.payload[i] for r in batch], axis=0)
+                    for i in range(arity)
+                ]
+                probs = entry.forward(*stacked)
                 for r, p in zip(batch, probs):
                     r.result = p
             except Exception as e:  # pragma: no cover - surfaced per request
@@ -201,11 +250,11 @@ class BatchingInferenceEngine:
             for r in batch:
                 r.event.set()
 
-    def infer(self, model_name: Optional[str], image: np.ndarray,
+    def infer(self, model_name: Optional[str], *payload: np.ndarray,
               timeout: float = 60.0) -> np.ndarray:
         entry = self.registry.get(model_name)
-        req = _Request(image=image)
-        self._queue_for(entry.name).put(req)
+        req = _Request(payload=tuple(payload))
+        self._queue_for((entry.name, len(payload)), entry.name).put(req)
         if not req.event.wait(timeout):
             raise TimeoutError("inference timed out")
         if req.error:
@@ -274,6 +323,29 @@ class SegmentationServer:
         img = nearest_resize(img, (entry.resolution, entry.resolution))
         return img.astype(np.float32) / 255.0
 
+    def _build_prompts(self, payload: Dict[str, Any], entry: ModelEntry):
+        """Fixed-width prompt arrays from the request JSON: ``points``
+        [[x, y], ...] (+ optional ``point_labels``, default all-foreground),
+        padded to entry.max_points with the -1 pad label; optional ``box``
+        [[x1, y1], [x2, y2]]."""
+        points = payload.get("points") or []
+        labels = payload.get("point_labels") or [1] * len(points)
+        if len(points) != len(labels):
+            raise KeyError("'points and point_labels length mismatch'")
+        if len(points) > entry.max_points:
+            raise KeyError(f"'too many points (max {entry.max_points})'")
+        if not points and "box" not in payload:
+            raise KeyError("'promptable model needs points and/or box'")
+        pts = np.zeros((entry.max_points, 2), np.float32)
+        lbl = -np.ones((entry.max_points,), np.int32)
+        for i, (p, l) in enumerate(zip(points, labels)):
+            pts[i] = p
+            lbl[i] = l
+        box = payload.get("box")
+        if box is not None:
+            box = np.asarray(box, np.float32).reshape(2, 2)
+        return pts, lbl, box
+
     def handle_predict(self, payload: Dict[str, Any]) -> Dict[str, Any]:
         start = time.time()
         try:
@@ -281,8 +353,16 @@ class SegmentationServer:
             model_name = payload.get("model")
             entry = self.registry.get(model_name)
             image = self._build_input(image_path, entry)
-            probs = self.engine.infer(entry.name, image)
-            mask = (probs[..., 0] > entry.threshold).astype(np.uint8)
+            if entry.kind == "promptable":
+                pts, lbl, box = self._build_prompts(payload, entry)
+                if box is None:
+                    probs = self.engine.infer(entry.name, image, pts, lbl)
+                else:
+                    probs = self.engine.infer(entry.name, image, pts, lbl, box)
+                mask = (probs > entry.threshold).astype(np.uint8)
+            else:
+                probs = self.engine.infer(entry.name, image)
+                mask = (probs[..., 0] > entry.threshold).astype(np.uint8)
 
             if payload.get("return") == "mask":
                 response: Any = mask.tolist()

@@ -26,6 +26,10 @@ def main():
         "--unet2d", action="append", default=[],
         help="name=<model name>,path=<save_pretrained dir>[,resolution=512]"
     )
+    parser.add_argument(
+        "--sam", action="append", default=[],
+        help="name=<model name>,path=<save_sam dir> (promptable segmentation)"
+    )
     parser.add_argument("--demo", action="store_true",
                         help="register an untrained demo model")
     parser.add_argument("--platform", default=None,
@@ -45,6 +49,9 @@ def main():
         registry.register_unet2d(
             kv["name"], kv["path"], resolution=int(kv.get("resolution", 512))
         )
+    for spec in args.sam:
+        kv = dict(item.split("=", 1) for item in spec.split(","))
+        registry.register_sam(kv["name"], kv["path"])
 
     if args.demo or not registry.names():
         import jax

@@ -183,3 +183,55 @@ def test_register_unet3d_slice_model(tmp_path):
         assert os.path.exists(body["response"])
     finally:
         srv.stop()
+
+
+def test_promptable_sam_serving(tmp_path):
+    """SAM served over HTTP: point and box prompts, padding, error paths."""
+    import jax
+
+    from mdeical_image_segmentation_tpu.models.sam import SAMMed2D, save_sam
+    from mdeical_image_segmentation_tpu.serve import ModelRegistry, SegmentationServer
+
+    model = SAMMed2D(img_size=64, in_channels=1, embed_dim=64, encoder_depth=2,
+                     encoder_heads=4, prompt_embed_dim=64)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)),
+        jnp.zeros((1, 1, 2)), jnp.ones((1, 1), jnp.int32),
+    )
+    save_sam(str(tmp_path / "sam"), model, variables)
+
+    registry = ModelRegistry()
+    registry.register_sam("sam", str(tmp_path / "sam"))
+    srv = SegmentationServer(registry, output_dir=str(tmp_path / "masks"))
+    httpd = srv.start(host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    try:
+        img = tmp_path / "img.png"
+        Image.fromarray(
+            (np.random.RandomState(0).rand(64, 64) * 255).astype(np.uint8)
+        ).save(img)
+
+        # point prompt
+        status, body = _post(port, {"image_path": str(img), "model": "sam",
+                                    "points": [[32, 32]]})
+        assert status == 200, body
+        assert os.path.exists(body["response"])
+
+        # point + box prompt (second program variant)
+        status, body = _post(port, {"image_path": str(img), "model": "sam",
+                                    "points": [[20, 20], [40, 40]],
+                                    "point_labels": [1, 0],
+                                    "box": [[8, 8], [56, 56]],
+                                    "return": "mask"})
+        assert status == 200, body
+        assert np.asarray(body["response"]).shape == (64, 64)
+
+        # no prompts at all → 400
+        status, body = _post(port, {"image_path": str(img), "model": "sam"})
+        assert status == 400
+        # too many points → 400
+        status, body = _post(port, {"image_path": str(img), "model": "sam",
+                                    "points": [[1, 1]] * 20})
+        assert status == 400
+    finally:
+        srv.stop()
