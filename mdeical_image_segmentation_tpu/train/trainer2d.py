@@ -66,6 +66,12 @@ class TrainingArguments:
     greater_is_better: bool = True
     seed: int = 42
     augment: bool = True
+    # Keep the whole train set in HBM (uint8) and sample minibatches on
+    # device — zero per-step host→device traffic (the right mode for small
+    # medical datasets like DRIVE, and for remote-attached TPUs where H2D
+    # under load is expensive).  Samples i.i.d. minibatches via the device
+    # PRNG instead of epoch permutations.  Must fit in ~2 GB.
+    dataset_on_device: bool = False
     eval_threshold: Optional[float] = None  # None → reference mean-threshold
     plot_eval: bool = False  # reference dumps output.png every eval
     log_dir: Optional[str] = None
@@ -229,7 +235,133 @@ class Trainer:
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
 
+        def train_step_resident(state: TrainState, images_all, labels_all, rng):
+            """Device-resident data path: gather a random uint8 minibatch in
+            HBM, normalize, shard over the data axis — no per-step H2D."""
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            step_rng = jax.random.fold_in(rng, state.step)
+            idx_rng, aug_rng, drop_rng = jax.random.split(step_rng, 3)
+            n = images_all.shape[0]
+            idx = jax.random.randint(idx_rng, (self.train_batch,), 0, n)
+            images = jnp.take(images_all, idx, axis=0).astype(jnp.float32) / 255.0
+            labels = jnp.take(labels_all, idx, axis=0).astype(jnp.float32)
+            constraint = NamedSharding(
+                self.mesh, P(mesh_lib.DATA_AXIS, None, None, None)
+            )
+            images = jax.lax.with_sharding_constraint(images, constraint)
+            labels = jax.lax.with_sharding_constraint(labels, constraint)
+            if augment:
+                images, labels = augment_batch(aug_rng, images, labels, aug_cfg)
+
+            def loss_fn(params):
+                variables = {"params": params}
+                if has_bn:
+                    variables["batch_stats"] = state.batch_stats
+                    (out, mutated) = model.apply(
+                        variables, images, labels, train=True,
+                        rngs={"dropout": drop_rng}, mutable=["batch_stats"],
+                    )
+                    return out.loss, mutated["batch_stats"]
+                out = model.apply(
+                    variables, images, labels, train=True,
+                    rngs={"dropout": drop_rng},
+                )
+                return out.loss, state.batch_stats
+
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return (
+                state.replace(step=state.step + 1, params=new_params,
+                              batch_stats=new_bs, opt_state=new_opt),
+                loss,
+            )
+
+        self._train_step_resident = jax.jit(
+            train_step_resident, donate_argnums=(0,)
+        )
+
     # -- public API ----------------------------------------------------------
+
+    def _maybe_residence(self):
+        """Materialize the train set as device-resident uint8 arrays when
+        enabled (or when it auto-fits); returns (images_all, labels_all) or
+        None for the streaming path."""
+        import jax.numpy as jnp
+
+        if not self.args.dataset_on_device:
+            return None
+        n = len(self.train_dataset)
+        sample = self.train_dataset[0]
+        bytes_total = n * (sample["image"].nbytes + sample["mask"].nbytes) // 4
+        if bytes_total > 2 * 1024**3:
+            logger.warning(
+                "dataset_on_device requested but the dataset exceeds 2 GB "
+                "uint8; falling back to the streaming loader"
+            )
+            return None
+        logger.info(
+            f"dataset-on-device: {n} samples, ~{bytes_total / 1e6:.0f} MB uint8 in HBM"
+        )
+        images = np.stack(
+            [np.clip(self.train_dataset[i]["image"] * 255, 0, 255).astype(np.uint8)
+             for i in range(n)]
+        )
+        labels = np.stack(
+            [(self.train_dataset[i]["mask"] > 0.5).astype(np.uint8)
+             for i in range(n)]
+        )
+        sharding = mesh_lib.replicated_sharding(self.mesh)
+        return (
+            jax.device_put(jnp.asarray(images), sharding),
+            jax.device_put(jnp.asarray(labels), sharding),
+        )
+
+    def _loop_bookkeeping(self, loss, global_step, total_steps, t_start) -> bool:
+        """Logging / eval / checkpoint / stop logic shared by both loops.
+        Returns True when training should stop."""
+        if self.args.logging_steps and global_step % self.args.logging_steps == 0:
+            loss_v = float(jax.device_get(loss))
+            self._loss_acc += loss_v
+            self._loss_n += 1
+            self._total_loss += loss_v
+            self._total_n += 1
+            elapsed = time.time() - t_start
+            logs = {
+                "loss": self._loss_acc / self._loss_n,
+                "step": global_step,
+                "steps_per_sec": global_step / elapsed,
+                "samples_per_sec": global_step * self.train_batch / elapsed,
+            }
+            self.writer.scalars(
+                {"train/loss": logs["loss"],
+                 "train/samples_per_sec": logs["samples_per_sec"]},
+                global_step,
+            )
+            logger.info(f"step {global_step}: {logs}")
+            self._loss_acc, self._loss_n = 0.0, 0
+            for cb in self.callbacks:
+                cb.on_log(self.args, self.state, self.control, logs)
+
+        if (
+            self.args.eval_strategy == "steps"
+            and self.args.eval_steps
+            and global_step % self.args.eval_steps == 0
+            and self.eval_dataset is not None
+        ):
+            self.evaluate()
+
+        if self.args.save_steps and global_step % self.args.save_steps == 0:
+            self._save_checkpoint(global_step)
+
+        if self.control.should_save:
+            self.control.should_save = False
+            self.save_model()
+
+        return global_step >= total_steps or self.control.should_stop
 
     def train(self) -> TrainOutput:
         assert self.train_dataset is not None, "no train_dataset"
@@ -248,19 +380,30 @@ class Trainer:
 
         rng = jax.random.PRNGKey(self.args.seed + 1)
         rng = mesh_lib.replicate(self.mesh, rng)
-        loss_acc, loss_n = 0.0, 0
-        total_loss, total_n = 0.0, 0
+        self._loss_acc, self._loss_n = 0.0, 0
+        self._total_loss, self._total_n = 0.0, 0
         global_step = int(jax.device_get(self.state.step))
         t_start = time.time()
-        steps_per_epoch = max(len(loader), 1)
 
         logger.info(
             f"***** training: {total_steps} steps, global batch "
             f"{self.train_batch} on {self.mesh.shape} mesh *****"
         )
+        resident = self._maybe_residence()
         done = False
         profiling = False
         while not done:
+            if resident is not None:
+                images_all, labels_all = resident
+                while not done:
+                    self.state, loss = self._train_step_resident(
+                        self.state, images_all, labels_all, rng
+                    )
+                    global_step += 1
+                    done = self._loop_bookkeeping(
+                        loss, global_step, total_steps, t_start
+                    )
+                break
             # H2D transfers run two batches ahead of the compute stream
             for sharded in mesh_lib.device_prefetch(loader, self.mesh):
                 if (
@@ -282,45 +425,7 @@ class Trainer:
                     profiling = False
                     logger.info(f"profiler trace written to {self.args.profile_dir}")
 
-                if self.args.logging_steps and global_step % self.args.logging_steps == 0:
-                    loss_v = float(jax.device_get(loss))
-                    loss_acc += loss_v
-                    loss_n += 1
-                    total_loss += loss_v
-                    total_n += 1
-                    elapsed = time.time() - t_start
-                    logs = {
-                        "loss": loss_acc / loss_n,
-                        "step": global_step,
-                        "steps_per_sec": global_step / elapsed,
-                        "samples_per_sec": global_step * self.train_batch / elapsed,
-                    }
-                    self.writer.scalars(
-                        {"train/loss": logs["loss"],
-                         "train/samples_per_sec": logs["samples_per_sec"]},
-                        global_step,
-                    )
-                    logger.info(f"step {global_step}: {logs}")
-                    loss_acc, loss_n = 0.0, 0
-                    for cb in self.callbacks:
-                        cb.on_log(self.args, self.state, self.control, logs)
-
-                if (
-                    self.args.eval_strategy == "steps"
-                    and self.args.eval_steps
-                    and global_step % self.args.eval_steps == 0
-                    and self.eval_dataset is not None
-                ):
-                    self.evaluate()
-
-                if self.args.save_steps and global_step % self.args.save_steps == 0:
-                    self._save_checkpoint(global_step)
-
-                if self.control.should_save:
-                    self.control.should_save = False
-                    self.save_model()
-
-                if global_step >= total_steps or self.control.should_stop:
+                if self._loop_bookkeeping(loss, global_step, total_steps, t_start):
                     done = True
                     break
             if self.args.eval_strategy == "epoch" and self.eval_dataset is not None:
@@ -328,7 +433,7 @@ class Trainer:
 
         if profiling:
             jax.profiler.stop_trace()
-        train_loss = total_loss / max(total_n, 1)
+        train_loss = self._total_loss / max(self._total_n, 1)
         return TrainOutput(global_step, train_loss, {"train_loss": train_loss})
 
     def evaluate(self, eval_dataset=None) -> Dict[str, float]:

@@ -44,6 +44,8 @@ def parse_args():
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--base_features", type=int, default=64)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--dataset_on_device", action="store_true",
+                   help="keep the train set in HBM; sample batches on device")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args()
 
@@ -109,6 +111,7 @@ def main():
         metric_for_best_model=args.metric_for_best_model,
         seed=args.seed,
         bf16=args.bf16,
+        dataset_on_device=args.dataset_on_device,
         plot_eval=True,
     )
     trainer = Trainer(
