@@ -112,17 +112,15 @@ def bench_unet3d(f_maps: int = 32, batch: int = 2, patch=(64, 128, 128),
     }
 
 
-def bench_unet3plus(batch: int = 8, res: int = 256, steps: int = 15):
-    """The reference's model of record (scripts/train.sh: UNet_3Plus).
-
-    Measured at 256x256: the 512x512 variant currently fails in this
-    environment's remote XLA compile service (the 25-branch full-scale-skip
-    decoder at 512^2 produces a very large program) — tracked in PERF.md."""
+def bench_unet3plus(batch: int = 4, res: int = 512, steps: int = 10):
+    """The reference's training configuration of record (scripts/train.sh:
+    UNet_3Plus at 512x512, bf16 + remat — without remat the 25-branch
+    full-scale-skip decoder at 512^2 exceeds the remote compiler's limits)."""
     from mdeical_image_segmentation_tpu.models import UNetConfig, UNetModel
 
     model = UNetModel(
         UNetConfig(in_channels=3, out_channels=1, unet_type="UNet_3Plus",
-                   compute_dtype="bfloat16")
+                   compute_dtype="bfloat16", remat=True)
     )
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(batch, res, res, 3), jnp.float32)
@@ -197,7 +195,7 @@ def main():
                     "ms_per_step": round(headline["ms_per_step"], 2),
                     "batch": headline["batch"],
                     "unet2d_base16": ({k: round(v, 1) if isinstance(v, float) else v for k, v in fast.items()}),
-                    "unet3plus_256px_bf16": ref_config,
+                    "unet3plus_512px_reference_config_remat": ref_config,
                     "unet3d_fmaps32_64x128x128": vol,
                 },
             }

@@ -88,19 +88,26 @@ class _UNet3PlusBackbone(nn.Module):
     is_batchnorm: bool = True
     bn_axis_name: Optional[str] = None
     dtype: Optional[Any] = None
+    remat: bool = False  # rematerialize blocks (memory + compile-size lever)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
         filters = FILTERS
         cat_ch = filters[0]
         up_ch = cat_ch * 5
+        if self.remat:
+            # `train` is python control flow inside the blocks → static
+            conv_cls = nn.remat(UNetConv2, static_argnums=(2,))
+            cbr_cls = nn.remat(ConvBNReLU, static_argnums=(2,))
+        else:
+            conv_cls, cbr_cls = UNetConv2, ConvBNReLU
 
         # ---- Encoder: conv, then maxpool between levels -------------------
         enc = {}
         for lvl, feats in enumerate(filters, start=1):
             if lvl > 1:
                 x = max_pool2d(x, 2)
-            x = UNetConv2(
+            x = conv_cls(
                 feats, is_batchnorm=self.is_batchnorm,
                 bn_axis_name=self.bn_axis_name, dtype=self.dtype,
             )(x, train)
@@ -124,12 +131,12 @@ class _UNet3PlusBackbone(nn.Module):
                         hd[lvl], 2 ** (lvl - t), align_corners=False
                     )
                 branches.append(
-                    ConvBNReLU(
+                    cbr_cls(
                         cat_ch, bn_axis_name=self.bn_axis_name, dtype=self.dtype
                     )(src, train)
                 )
             fused = jnp.concatenate(branches, axis=-1)
-            hd[t] = ConvBNReLU(
+            hd[t] = cbr_cls(
                 up_ch, bn_axis_name=self.bn_axis_name, dtype=self.dtype
             )(fused, train)
 
@@ -146,11 +153,13 @@ class UNet3Plus(nn.Module):
     is_batchnorm: bool = True
     bn_axis_name: Optional[str] = None
     dtype: Optional[Any] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         hd = _UNet3PlusBackbone(
-            self.in_channels, self.is_batchnorm, self.bn_axis_name, self.dtype
+            self.in_channels, self.is_batchnorm, self.bn_axis_name, self.dtype,
+            self.remat,
         )(x, train)
         return TorchConv(
             self.n_classes, (3, 3), kernel_init="kaiming", dtype=self.dtype
@@ -171,13 +180,15 @@ class UNet3PlusDeepSup(nn.Module):
     is_batchnorm: bool = True
     bn_axis_name: Optional[str] = None
     dtype: Optional[Any] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(
         self, x: jax.Array, train: bool = False
     ) -> Tuple[jax.Array, ...]:
         hd = _UNet3PlusBackbone(
-            self.in_channels, self.is_batchnorm, self.bn_axis_name, self.dtype
+            self.in_channels, self.is_batchnorm, self.bn_axis_name, self.dtype,
+            self.remat,
         )(x, train)
         outs = []
         for i in range(1, 6):
@@ -208,13 +219,15 @@ class UNet3PlusDeepSupCGM(nn.Module):
     is_batchnorm: bool = True
     bn_axis_name: Optional[str] = None
     dtype: Optional[Any] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(
         self, x: jax.Array, train: bool = False
     ) -> Tuple[jax.Array, ...]:
         hd = _UNet3PlusBackbone(
-            self.in_channels, self.is_batchnorm, self.bn_axis_name, self.dtype
+            self.in_channels, self.is_batchnorm, self.bn_axis_name, self.dtype,
+            self.remat,
         )(x, train)
 
         # Classification branch on the bottleneck.

@@ -51,6 +51,7 @@ class UNetConfig:
     bn_axis_name: Optional[str] = None  # sync-BN mesh axis
     param_dtype: str = "float32"
     compute_dtype: str = "float32"   # "bfloat16" runs the convs on the MXU in bf16
+    remat: bool = False              # rematerialize blocks (UNet-3+ family)
     # HF-contract fields (consumed by the trainer):
     label_names: str = "labels"
     main_input_name: str = "images"
@@ -107,7 +108,8 @@ class UNetModel:
             )
         else:
             kwargs.update(
-                n_classes=config.out_channels, bn_axis_name=config.bn_axis_name
+                n_classes=config.out_channels, bn_axis_name=config.bn_axis_name,
+                remat=config.remat,
             )
             self.criterion = segmentation_loss
         self.module = cls(**kwargs)
