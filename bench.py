@@ -179,8 +179,8 @@ def main():
             return {"error": f"{type(e).__name__}: {e}"}
 
     fast = extra(bench_unet2d, base_features=16, batch=128, steps=20)
+    vol = extra(bench_unet3d)  # BASELINE metric #2 first
     ref_config = extra(bench_unet3plus)
-    vol = extra(bench_unet3d)
 
     value = round(headline["slices_per_sec"], 1)
     print(

@@ -103,6 +103,8 @@ class _UNet3PlusBackbone(nn.Module):
             conv_cls, cbr_cls = UNetConv2, ConvBNReLU
 
         # ---- Encoder: conv, then maxpool between levels -------------------
+        # explicit names keep the params tree identical with/without remat
+        # (nn.remat changes auto-generated module names)
         enc = {}
         for lvl, feats in enumerate(filters, start=1):
             if lvl > 1:
@@ -110,6 +112,7 @@ class _UNet3PlusBackbone(nn.Module):
             x = conv_cls(
                 feats, is_batchnorm=self.is_batchnorm,
                 bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                name=f"UNetConv2_{lvl - 1}",
             )(x, train)
             enc[lvl] = x
         hd = {5: enc[5]}  # hd5 is the bottleneck
@@ -119,6 +122,7 @@ class _UNet3PlusBackbone(nn.Module):
         # decoder levels t+1..5 (bilinear ×2^(l-t), align_corners=False), each
         # through conv3x3+BN+ReLU to cat_ch, concatenated shallow→deep
         # (reference unet.py:173-333 construction, 335-446 forward).
+        cbr_idx = 0
         for t in (4, 3, 2, 1):
             branches = []
             for lvl in range(1, 6):
@@ -132,13 +136,17 @@ class _UNet3PlusBackbone(nn.Module):
                     )
                 branches.append(
                     cbr_cls(
-                        cat_ch, bn_axis_name=self.bn_axis_name, dtype=self.dtype
+                        cat_ch, bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                        name=f"ConvBNReLU_{cbr_idx}",
                     )(src, train)
                 )
+                cbr_idx += 1
             fused = jnp.concatenate(branches, axis=-1)
             hd[t] = cbr_cls(
-                up_ch, bn_axis_name=self.bn_axis_name, dtype=self.dtype
+                up_ch, bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                name=f"ConvBNReLU_{cbr_idx}",
             )(fused, train)
+            cbr_idx += 1
 
         return hd
 
