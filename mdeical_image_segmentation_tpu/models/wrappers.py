@@ -9,7 +9,11 @@ a pure ``apply`` over explicit params, so the bundle pairs:
   UNet_3Plus_DeepSup[_CGM] → hybrid SegmentationLoss, matching
   unet.py:1181-1196),
 - a criterion applied per head (deep-supervision tuples sum the loss over all
-  5 heads and report head-1 as the logits, unet.py:1199-1213),
+  5 heads and report head-1 as the logits, unet.py:1199-1213).  Note: the
+  reference wrapper cannot construct the CGM variant at all (unet.py:1181-1196
+  has no branch for it); we expose it as an extension — since CGM outputs are
+  already sigmoided, the hybrid criterion's internal sigmoid squashes them a
+  second time, exactly as the reference code would if wired identically,
 - ``save_pretrained`` / ``from_pretrained`` round-trips (config.json +
   msgpack-serialized params) mirroring the PretrainedConfig contract.
 
