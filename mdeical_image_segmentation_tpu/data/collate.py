@@ -56,7 +56,13 @@ class BatchLoader:
         collator: Optional[SliceCollator] = None,
         prefetch: int = 2,
         num_workers: int = 0,
+        process_shard: Optional[tuple] = None,
     ):
+        """``process_shard=(index, count)`` makes this loader yield only this
+        process's rows of each *global* batch: ``batch_size`` stays the global
+        batch, the epoch permutation is seed-identical across processes, and
+        each process assembles rows ``[index*local : (index+1)*local]`` — the
+        contract ``parallel.mesh.shard_batch`` expects on multi-host."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -65,6 +71,13 @@ class BatchLoader:
         self.collator = collator or SliceCollator()
         self.prefetch = prefetch
         self.num_workers = num_workers
+        self.process_shard = process_shard
+        if process_shard is not None:
+            index, count = process_shard
+            assert 0 <= index < count, process_shard
+            assert batch_size % count == 0, (
+                f"global batch {batch_size} not divisible by {count} processes"
+            )
         self._pool = None
         self._epoch = 0
 
@@ -88,10 +101,16 @@ class BatchLoader:
                 if self.drop_last:
                     break
                 # pad by wrapping so shapes stay static; callers can use
-                # `valid` to mask padded rows out of metrics.
-                pad = order[: self.batch_size - len(idx)]
+                # `valid` to mask padded rows out of metrics.  Tile the
+                # epoch order so even batch_size > 2·len(dataset) fills up.
+                need = self.batch_size - len(idx)
+                pad = np.tile(order, -(-need // max(n, 1)))[:need]
                 idx = np.concatenate([idx, pad])
             batches.append(idx)
+        if self.process_shard is not None:
+            index, count = self.process_shard
+            local = self.batch_size // count
+            batches = [b[index * local : (index + 1) * local] for b in batches]
         return batches
 
     def _assemble(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
@@ -117,11 +136,14 @@ class BatchLoader:
         stop = object()
 
         def producer():
+            # propagate assembly failures to the consumer instead of
+            # silently ending the epoch on truncated data
             try:
                 for idx in batches:
                     q.put(self._assemble(idx))
-            finally:
                 q.put(stop)
+            except BaseException as exc:  # noqa: BLE001
+                q.put(exc)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -129,4 +151,6 @@ class BatchLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

@@ -152,17 +152,22 @@ class VolumeLoader:
         stop = object()
 
         def producer():
+            # propagate assembly failures to the consumer instead of
+            # silently ending the epoch on truncated data
             try:
                 for idx in batches:
                     q.put(assemble(idx))
-            finally:
                 q.put(stop)
+            except BaseException as exc:  # noqa: BLE001
+                q.put(exc)
 
         threading.Thread(target=producer, daemon=True).start()
         while True:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 

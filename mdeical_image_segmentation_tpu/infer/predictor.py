@@ -330,21 +330,26 @@ class DSB2018Predictor(_AbstractPredictor):
     def __call__(self, test_loader):
         executor = futures.ThreadPoolExecutor(max_workers=8)
         pending = []
+
+        # One jitted forward reused across batches — jax.jit caches on the
+        # function object, so constructing the lambda per batch would
+        # retrace/recompile every image.
+        model = self.model
+        act = model.final_activation()
+
+        @jax.jit
+        def forward(variables, x):
+            out = model.apply(variables, x, False)
+            return act(out) if act is not None else out
+
         for img, path in test_loader:
             img = np.asarray(img)
             if img.ndim == 5 and img.shape[1] == 1:
                 # DSB pipelines emit (N, Z=1, H, W, C); 2D models take NHWC
                 img = np.squeeze(img, axis=1)
             pred = np.asarray(
-                jax.device_get(
-                    jax.jit(lambda v, x: self.model.apply(v, x, False))(
-                        self.variables, jnp.asarray(img)
-                    )
-                )
+                jax.device_get(forward(self.variables, jnp.asarray(img)))
             )
-            act = self.model.final_activation()
-            if act is not None:
-                pred = np.asarray(act(pred))
             pending.append(
                 executor.submit(
                     dsb_save_batch, self.output_dir, path, pred,

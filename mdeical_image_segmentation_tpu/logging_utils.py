@@ -142,3 +142,22 @@ class MetricWriter:
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+
+
+class NullMetricWriter:
+    """No-op writer for non-primary processes (multi-host: only process 0
+    writes logs/events; every host would otherwise race on the same files)."""
+
+    log_dir = None
+
+    def scalar(self, tag, value, step):
+        pass
+
+    def scalars(self, logs, step):
+        pass
+
+    def image(self, tag, img, step):
+        pass
+
+    def close(self):
+        pass

@@ -161,3 +161,54 @@ def dice_jax(logits: jax.Array, labels: jax.Array, threshold=None) -> jax.Array:
     inter = (p * l).sum(axes)
     denom = p.sum(axes) + l.sum(axes) + 2e-6
     return ((2.0 * inter + 1e-6) / denom).mean()
+
+
+# ---------------------------------------------------------------------------
+# streaming (O(batch)-memory) eval building blocks
+# ---------------------------------------------------------------------------
+#
+# The reference's eval (metrcis.py:153-168) materializes every logit on host
+# and thresholds at the global mean of the sigmoided predictions.  For eval
+# sets that don't fit in host memory the trainer instead accumulates these
+# per-batch sufficient statistics on device (two passes: one for the global
+# mean threshold, one for the thresholded IoU/Dice).  Exactness: every valid
+# sample contributes one equal-pixel-count mean, so the average of per-sample
+# means equals the reference's global pixel mean, and the per-sample IoU/Dice
+# sums match compute_iou/compute_dice term by term.
+
+
+def _valid_mask(n_total: int, n_valid: jax.Array) -> jax.Array:
+    return (jnp.arange(n_total) < n_valid).astype(jnp.float32)
+
+
+def quirky_sigmoid_jax(logits: jax.Array) -> jax.Array:
+    """The reference's sigmoid with epsilon inside the denominator
+    (metrcis.py:161)."""
+    return 1.0 / (1.0 + jnp.exp(-logits) + 1e-6)
+
+
+def pred_mean_sum_jax(logits: jax.Array, n_valid: jax.Array) -> jax.Array:
+    """Sum over the first ``n_valid`` samples of each sample's mean sigmoided
+    prediction.  Dividing the accumulated total by Σ n_valid reproduces the
+    reference's dynamic threshold exactly (equal pixel counts per sample)."""
+    preds = quirky_sigmoid_jax(logits.astype(jnp.float32))
+    axes = tuple(range(1, preds.ndim))
+    per_sample = preds.mean(axes)
+    return (per_sample * _valid_mask(preds.shape[0], n_valid)).sum()
+
+
+def iou_dice_sums_jax(
+    logits: jax.Array, labels: jax.Array, threshold: jax.Array, n_valid: jax.Array
+):
+    """(Σ per-sample IoU, Σ per-sample Dice) over the first ``n_valid``
+    samples, with compute_iou/compute_dice's exact epsilon placement."""
+    preds = quirky_sigmoid_jax(logits.astype(jnp.float32))
+    axes = tuple(range(1, preds.ndim))
+    p = (preds > threshold).astype(jnp.float32)
+    l = (labels.astype(jnp.float32) > threshold).astype(jnp.float32)
+    inter = (p * l).sum(axes)
+    union = jnp.maximum(p.sum(axes) + l.sum(axes) - inter, 1e-6)
+    iou = inter / union
+    dice = (2.0 * inter + 1e-6) / (p.sum(axes) + 1e-6 + l.sum(axes) + 1e-6)
+    mask = _valid_mask(preds.shape[0], n_valid)
+    return (iou * mask).sum(), (dice * mask).sum()

@@ -58,7 +58,21 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
-    """Device-put a host batch dict with batch-axis sharding."""
+    """Device-put a host batch dict with batch-axis sharding.
+
+    Single-process: each host array is the global batch and device_put
+    scatters it.  Multi-process (multi-host DCN): each process holds only its
+    local rows — ``jax.make_array_from_process_local_data`` assembles the
+    global sharded array without ever materializing the global batch on any
+    one host.  The loader must then yield ``global_batch / process_count``
+    rows per process (BatchLoader's ``process_shard``)."""
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(
+                batch_sharding(mesh, np.ndim(v)), np.asarray(v)
+            )
+            for k, v in batch.items()
+        }
     return {
         k: jax.device_put(v, batch_sharding(mesh, np.ndim(v)))
         for k, v in batch.items()
@@ -66,8 +80,18 @@ def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
-    """Device-put a pytree fully replicated over the mesh."""
+    """Device-put a pytree fully replicated over the mesh.
+
+    Multi-process: every process must hold the full (identical) host value;
+    the global replicated array is assembled from each process's copy."""
     sharding = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            tree,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 

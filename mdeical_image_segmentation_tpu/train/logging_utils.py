@@ -5,6 +5,7 @@ trainer imports (circular-import break)."""
 
 from ..logging_utils import (  # noqa: F401
     MetricWriter,
+    NullMetricWriter,
     RunningAverage,
     TensorboardFormatter,
     get_logger,

@@ -230,15 +230,18 @@ class ReduceLROnPlateau(LRScheduler):
         self.best: Optional[float] = None
 
     def _is_better(self, metric: float) -> bool:
+        # Mirrors torch's _is_better exactly (including the sign behavior for
+        # negative metrics): rel/min → metric < best*(1-threshold);
+        # rel/max → metric > best*(1+threshold); abs → best ∓ threshold.
         if self.best is None:
             return True
         if self.threshold_mode == "rel":
-            eps = self.threshold * abs(self.best)
-        else:
-            eps = self.threshold
+            if self.mode == "min":
+                return metric < self.best * (1.0 - self.threshold)
+            return metric > self.best * (1.0 + self.threshold)
         if self.mode == "min":
-            return metric < self.best - eps
-        return metric > self.best + eps
+            return metric < self.best - self.threshold
+        return metric > self.best + self.threshold
 
     def step(self, metric: Optional[float] = None) -> float:
         assert metric is not None, "ReduceLROnPlateau.step requires a metric"

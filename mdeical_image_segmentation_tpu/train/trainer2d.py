@@ -31,11 +31,18 @@ import numpy as np
 import optax
 
 from ..data.collate import BatchLoader, SliceCollator
-from ..metrics.metrics2d import compute_metrics as default_compute_metrics
+from ..metrics.metrics2d import (
+    compute_metrics as default_compute_metrics,
+    iou_dice_sums_jax,
+    plot_first_element,
+    pred_mean_sum_jax,
+    quirky_sigmoid_jax,
+)
 from ..parallel import mesh as mesh_lib
+from ..parallel.distributed import is_primary
 from ..transforms.device2d import Augment2DConfig, augment_batch
 from .callbacks import TrainerCallback, TrainerControl
-from .logging_utils import MetricWriter, get_logger
+from .logging_utils import MetricWriter, NullMetricWriter, get_logger
 from .train_state import TrainState, create_train_state
 
 logger = get_logger(__name__)
@@ -111,8 +118,17 @@ class Trainer:
         self.callbacks = callbacks or []
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
         self.control = TrainerControl()
-        self.writer = MetricWriter(
-            args.log_dir or os.path.join(args.output_dir, "logs")
+        # Multi-host: only process 0 writes logs/checkpoints; every process
+        # loads its own disjoint slice of each global batch (process_shard).
+        self.writer = (
+            MetricWriter(args.log_dir or os.path.join(args.output_dir, "logs"))
+            if is_primary()
+            else NullMetricWriter()
+        )
+        self._process_shard = (
+            (jax.process_index(), jax.process_count())
+            if jax.process_count() > 1
+            else None
         )
         self.state: Optional[TrainState] = None
         self._saved_checkpoints: List[str] = []
@@ -147,12 +163,17 @@ class Trainer:
         return int(self.args.num_train_epochs * steps_per_epoch)
 
     def _build_optimizer(self, total_steps: int) -> optax.GradientTransformation:
-        warmup = int(self.args.warmup_ratio * total_steps)
+        # Under MultiSteps the inner schedule only advances every k-th call,
+        # while total_steps counts micro-steps — build the schedule over
+        # optimizer steps so the LR actually reaches 0 at the end of training.
+        k = max(self.args.gradient_accumulation_steps, 1)
+        opt_steps = -(-total_steps // k)
+        warmup = int(self.args.warmup_ratio * opt_steps)
         schedule = optax.join_schedules(
             [
                 optax.linear_schedule(0.0, self.args.learning_rate, max(warmup, 1)),
                 optax.linear_schedule(
-                    self.args.learning_rate, 0.0, max(total_steps - warmup, 1)
+                    self.args.learning_rate, 0.0, max(opt_steps - warmup, 1)
                 ),
             ],
             [max(warmup, 1)],
@@ -223,17 +244,42 @@ class Trainer:
             )
             return new_state, loss
 
-        def eval_step(state: TrainState, batch):
+        def _eval_forward(state: TrainState, batch):
             variables = {"params": state.params}
             if has_bn:
                 variables["batch_stats"] = state.batch_stats
-            out = model.apply(
+            return model.apply(
                 variables, batch["images"], batch["labels"], train=False
             )
+
+        def eval_step(state: TrainState, batch):
+            out = _eval_forward(state, batch)
             return out.logits, out.loss
+
+        # Streaming eval: O(batch) memory, outputs fully replicated so they
+        # are addressable on every process under multi-host (no device_get on
+        # non-addressable shards).  Two jitted passes: sufficient statistics
+        # for the reference's global mean-of-sigmoided-preds threshold, then
+        # thresholded per-sample IoU/Dice sums.  ``n_valid`` masks the
+        # wrap-padded tail rows out on device.
+        rep = mesh_lib.replicated_sharding(self.mesh)
+
+        def eval_stats_step(state: TrainState, batch, n_valid):
+            out = _eval_forward(state, batch)
+            return out.loss, pred_mean_sum_jax(out.logits, n_valid)
+
+        def eval_metric_step(state: TrainState, batch, threshold, n_valid):
+            out = _eval_forward(state, batch)
+            iou_sum, dice_sum = iou_dice_sums_jax(
+                out.logits, batch["labels"], threshold, n_valid
+            )
+            preds0 = quirky_sigmoid_jax(out.logits[0].astype(jnp.float32))
+            return iou_sum, dice_sum, preds0
 
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
+        self._eval_stats_step = jax.jit(eval_stats_step, out_shardings=rep)
+        self._eval_metric_step = jax.jit(eval_metric_step, out_shardings=rep)
 
         def train_step_resident(state: TrainState, images_all, labels_all, rng):
             """Device-resident data path: gather a random uint8 minibatch in
@@ -372,6 +418,7 @@ class Trainer:
             shuffle=True,
             seed=self.args.seed,
             collator=self.data_collator,
+            process_shard=self._process_shard,
         )
         first = next(iter(loader))
         if self.state is None:
@@ -445,35 +492,10 @@ class Trainer:
             self._init_state(first["images"], max(self._num_train_steps(), 1))
             self._compile_steps()
 
-        loader = BatchLoader(
-            dataset, self.eval_batch, shuffle=False, collator=self.data_collator
-        )
-        all_logits, all_labels, losses = [], [], []
-        n_remaining = len(dataset)
-        for batch in loader:
-            sharded = mesh_lib.shard_batch(self.mesh, batch)
-            logits, loss = self._eval_step(self.state, sharded)
-            take = min(n_remaining, logits.shape[0])  # unpad wrapped tail
-            all_logits.append(np.asarray(jax.device_get(logits))[:take])
-            all_labels.append(batch["labels"][:take])
-            losses.append(float(jax.device_get(loss)))
-            n_remaining -= take
-
-        logits = np.concatenate(all_logits, axis=0)
-        labels = np.concatenate(all_labels, axis=0)
         if self.compute_metrics is not None:
-            metrics = self.compute_metrics(logits, labels)
+            metrics = self._evaluate_full_gather(dataset)
         else:
-            plot = (
-                os.path.join(self.args.output_dir, "output.png")
-                if self.args.plot_eval
-                else None
-            )
-            metrics = default_compute_metrics(
-                logits, labels, threshold=self.args.eval_threshold, plot_path=plot
-            )
-        metrics = {f"eval_{k}": v for k, v in metrics.items()}
-        metrics["eval_loss"] = float(np.mean(losses)) if losses else float("nan")
+            metrics = self._evaluate_streaming(dataset)
 
         step = int(jax.device_get(self.state.step))
         self.writer.scalars(metrics, step)
@@ -492,15 +514,121 @@ class Trainer:
             cb.on_evaluate(self.args, self.state, self.control, metrics)
         return metrics
 
+    def _eval_loader(self, dataset) -> BatchLoader:
+        return BatchLoader(
+            dataset,
+            self.eval_batch,
+            shuffle=False,
+            collator=self.data_collator,
+            process_shard=self._process_shard,
+        )
+
+    def _evaluate_streaming(self, dataset) -> Dict[str, float]:
+        """O(batch)-memory eval: per-batch sufficient statistics accumulated
+        on device, fully-replicated scalar outputs (multi-host safe).
+
+        Pass 1 accumulates the weighted loss and the global mean of sigmoided
+        predictions (the reference's dynamic threshold, metrcis.py:163); pass
+        2 re-runs the forward and accumulates thresholded per-sample IoU/Dice
+        sums.  Eval cost is 2 forwards when the dynamic threshold is used —
+        the price of exact mean-threshold parity without materializing the
+        whole eval set's logits anywhere.
+        """
+        n_total = len(dataset)
+        loss_sum, pred_sum, n_seen = 0.0, 0.0, 0
+        n_remaining = n_total
+        for batch in self._eval_loader(dataset):
+            sharded = mesh_lib.shard_batch(self.mesh, batch)
+            n_valid = min(n_remaining, self.eval_batch)
+            loss, psum = self._eval_stats_step(
+                self.state, sharded, jnp.int32(n_valid)
+            )
+            # per-batch loss is still computed over wrap-padded rows; weight
+            # by the valid count so the tail batch doesn't bias eval_loss
+            loss_sum += float(jax.device_get(loss)) * n_valid
+            pred_sum += float(jax.device_get(psum))
+            n_seen += n_valid
+            n_remaining -= n_valid
+
+        thr = (
+            self.args.eval_threshold
+            if self.args.eval_threshold is not None
+            else pred_sum / max(n_seen, 1)
+        )
+
+        iou_sum, dice_sum = 0.0, 0.0
+        n_remaining = n_total
+        first = True
+        for batch in self._eval_loader(dataset):
+            sharded = mesh_lib.shard_batch(self.mesh, batch)
+            n_valid = min(n_remaining, self.eval_batch)
+            isum, dsum, preds0 = self._eval_metric_step(
+                self.state, sharded, jnp.float32(thr), jnp.int32(n_valid)
+            )
+            iou_sum += float(jax.device_get(isum))
+            dice_sum += float(jax.device_get(dsum))
+            if first and self.args.plot_eval and is_primary():
+                labs0 = np.asarray(batch["labels"][:1], np.float32)
+                if labs0.ndim == 4 and labs0.shape[-1] == 1:
+                    labs0 = labs0[..., 0]
+                p0 = np.asarray(jax.device_get(preds0))
+                if p0.ndim == 3 and p0.shape[-1] == 1:
+                    p0 = p0[..., 0]
+                plot_first_element(
+                    p0[None], labs0, threshold=thr,
+                    save_path=os.path.join(self.args.output_dir, "output.png"),
+                )
+            first = False
+            n_remaining -= n_valid
+
+        return {
+            "eval_iou": iou_sum / max(n_total, 1),
+            "eval_dice": dice_sum / max(n_total, 1),
+            "eval_loss": loss_sum / n_seen if n_seen else float("nan"),
+        }
+
+    def _evaluate_full_gather(self, dataset) -> Dict[str, float]:
+        """Legacy path for user ``compute_metrics`` hooks that need the full
+        (logits, labels) arrays on host.  Single-process only — the hook
+        contract cannot stream."""
+        assert jax.process_count() == 1, (
+            "a custom compute_metrics hook requires gathering all logits on "
+            "one host; use the default streaming metrics under multi-host"
+        )
+        all_logits, all_labels, losses = [], [], []
+        n_remaining = len(dataset)
+        for batch in self._eval_loader(dataset):
+            sharded = mesh_lib.shard_batch(self.mesh, batch)
+            logits, loss = self._eval_step(self.state, sharded)
+            take = min(n_remaining, logits.shape[0])  # unpad wrapped tail
+            all_logits.append(np.asarray(jax.device_get(logits))[:take])
+            all_labels.append(batch["labels"][:take])
+            losses.append((float(jax.device_get(loss)), take))
+            n_remaining -= take
+
+        logits = np.concatenate(all_logits, axis=0)
+        labels = np.concatenate(all_labels, axis=0)
+        metrics = self.compute_metrics(logits, labels)
+        metrics = {f"eval_{k}": v for k, v in metrics.items()}
+        n_seen = sum(t for _, t in losses)
+        metrics["eval_loss"] = (
+            sum(l * t for l, t in losses) / n_seen if n_seen else float("nan")
+        )
+        return metrics
+
     # -- persistence ---------------------------------------------------------
 
     def save_model(self, path: Optional[str] = None):
+        if not is_primary():
+            return  # multi-host: params are replicated; only process 0 writes
         path = path or self.args.output_dir
         variables = jax.device_get(self.state.variables)
         self.model.save_pretrained(path, variables)
         logger.info(f"model saved to {path}")
 
     def _save_checkpoint(self, step: int):
+        if not is_primary():
+            return
         path = os.path.join(self.args.output_dir, f"checkpoint-{step}")
         self.save_model(path)
         self._saved_checkpoints.append(path)

@@ -144,10 +144,19 @@ class UNetTrainer:
             float("-inf") if eval_score_higher_is_better else float("+inf")
         )
 
-        self.writer = MetricWriter(
-            os.path.join(
-                checkpoint_dir, "logs", datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+        # multi-host: only process 0 writes logs/checkpoints
+        from ..parallel.distributed import is_primary
+        from .logging_utils import NullMetricWriter
+
+        self.writer = (
+            MetricWriter(
+                os.path.join(
+                    checkpoint_dir, "logs",
+                    datetime.now().strftime("%Y-%m-%d_%H-%M-%S"),
+                )
             )
+            if is_primary()
+            else NullMetricWriter()
         )
         assert tensorboard_formatter is not None, "TensorboardFormatter must be provided"
         self.tensorboard_formatter = tensorboard_formatter
@@ -478,6 +487,10 @@ class UNetTrainer:
         return is_best
 
     def _save_checkpoint(self, is_best: bool):
+        from ..parallel.distributed import is_primary
+
+        if not is_primary():
+            return  # replicated state; only process 0 writes
         state = jax.device_get(self._state)
         last_file_path = os.path.join(self.checkpoint_dir, ckpt.LAST_NAME)
         logger.info(f"Saving checkpoint to '{last_file_path}'")

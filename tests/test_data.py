@@ -139,3 +139,81 @@ class TestDeviceAugment:
         a1 = augment_batch(rng, imgs, masks)
         a2 = augment_batch(rng, imgs, masks)
         np.testing.assert_array_equal(np.asarray(a1[0]), np.asarray(a2[0]))
+
+
+class _PoisonDataset:
+    """Raises on one index — prefetch must surface it, not end the epoch."""
+
+    def __init__(self, n=8, bad=5):
+        self.n, self.bad = n, bad
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        if i == self.bad:
+            raise ValueError("corrupt sample")
+        a = np.full((4, 4, 1), float(i), np.float32)
+        return {"image": a, "mask": a}
+
+
+def test_batchloader_prefetch_propagates_worker_errors():
+    from mdeical_image_segmentation_tpu.data.collate import BatchLoader
+
+    loader = BatchLoader(_PoisonDataset(), batch_size=2, prefetch=2)
+    with pytest.raises(ValueError, match="corrupt sample"):
+        list(loader)
+
+
+def test_batchloader_process_shard_partitions_global_batches():
+    from mdeical_image_segmentation_tpu.data.collate import BatchLoader
+
+    class _Idx:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            a = np.full((2, 2, 1), float(i), np.float32)
+            return {"image": a, "mask": a}
+
+    full = [
+        b["images"][..., 0, 0, 0]
+        for b in BatchLoader(_Idx(), 4, shuffle=True, seed=3, prefetch=0)
+    ]
+    shards = [
+        [
+            b["images"][..., 0, 0, 0]
+            for b in BatchLoader(
+                _Idx(), 4, shuffle=True, seed=3, prefetch=0,
+                process_shard=(p, 2),
+            )
+        ]
+        for p in range(2)
+    ]
+    for k, fb in enumerate(full):
+        np.testing.assert_array_equal(
+            np.concatenate([shards[0][k], shards[1][k]]), fb
+        )
+
+
+def test_batchloader_wrap_pad_handles_tiny_datasets():
+    """batch_size > 2·len(dataset) must still fill the batch (regression:
+    eval with per_device_batch·8 devices > small synthetic eval set)."""
+    from mdeical_image_segmentation_tpu.data.collate import BatchLoader
+
+    class _Tiny:
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            a = np.full((2, 2, 1), float(i), np.float32)
+            return {"image": a, "mask": a}
+
+    batches = list(BatchLoader(_Tiny(), 16, prefetch=0))
+    assert len(batches) == 1
+    assert batches[0]["images"].shape[0] == 16
+    # first 3 rows are the real samples, the rest wrap
+    np.testing.assert_array_equal(
+        batches[0]["images"][:, 0, 0, 0],
+        np.tile([0.0, 1.0, 2.0], 6)[:16],
+    )

@@ -1,0 +1,105 @@
+"""2-process multi-host data-parallel integration test (SURVEY.md §2b DCN row).
+
+The reference has no multi-node capability at all; tpuseg's multi-host story
+is jax.distributed + the same GSPMD program.  This launches two real
+processes (4 virtual CPU devices each → one global 8-device mesh over Gloo)
+and runs the actual Trainer: process-sharded loaders, global batch assembly
+from process-local rows, streaming eval with replicated outputs, and
+primary-only checkpoint writes.
+
+Launch recipe documented here is the real one — per host:
+    COORDINATOR_ADDRESS=host0:port NUM_PROCESSES=N PROCESS_ID=i python train.py ...
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def two_process_run(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("mh_out"))
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "multihost_worker.py"),
+             str(pid), "2", str(port), out],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, cwd=REPO, env=env,
+        )
+        for pid in range(2)
+    ]
+    outputs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            stdout = "TIMEOUT"
+        outputs.append((p.returncode, stdout))
+    return out, outputs
+
+
+def _results(outputs):
+    res = {}
+    for rc, stdout in outputs:
+        assert rc == 0, f"worker failed (rc={rc}):\n{stdout[-3000:]}"
+        for line in stdout.splitlines():
+            if line.startswith("RESULT "):
+                r = json.loads(line[len("RESULT "):])
+                res[r["process"]] = r
+    assert set(res) == {0, 1}, f"missing worker results: {res.keys()}"
+    return res
+
+
+def test_two_process_training_completes(two_process_run):
+    _, outputs = two_process_run
+    res = _results(outputs)
+    assert res[0]["process_count"] == 2
+    assert res[0]["global_step"] == 4
+    assert res[1]["global_step"] == 4
+
+
+def test_replicas_agree_bitwise_on_loss_and_eval(two_process_run):
+    _, outputs = two_process_run
+    res = _results(outputs)
+    assert res[0]["train_loss"] == pytest.approx(res[1]["train_loss"], abs=1e-7)
+    for k in ("eval_iou", "eval_dice", "eval_loss"):
+        assert res[0]["eval"][k] == pytest.approx(res[1]["eval"][k], abs=1e-7)
+
+
+def test_eval_metrics_are_sane(two_process_run):
+    _, outputs = two_process_run
+    res = _results(outputs)
+    for k in ("eval_iou", "eval_dice", "eval_loss"):
+        v = res[0]["eval"][k]
+        assert 0.0 <= v <= 1.0 or k == "eval_loss", (k, v)
+
+
+def test_only_primary_wrote_checkpoints(two_process_run):
+    out, outputs = two_process_run
+    _results(outputs)
+    # exactly one checkpoint-4 dir (not duplicated/raced by process 1) and
+    # one logs dir with one metrics.jsonl
+    names = sorted(os.listdir(out))
+    assert "checkpoint-4" in names, names
+    jsonl = os.path.join(out, "logs", "metrics.jsonl")
+    assert os.path.exists(jsonl)
+    with open(jsonl) as f:
+        steps = [json.loads(l) for l in f if l.strip()]
+    # a doubled writer would emit each tag twice per step
+    tags = [(s["tag"], s["step"]) for s in steps]
+    assert len(tags) == len(set(tags)), "duplicate metric writes (both processes wrote)"

@@ -132,3 +132,37 @@ class TestSchedulers:
         assert create_lr_scheduler(None, 0.5) is None
         with pytest.raises(RuntimeError):
             create_lr_scheduler({"name": "Nope"}, 0.5)
+
+
+def test_plateau_negative_metric_torch_parity():
+    """rel-threshold comparisons must match torch for negative metrics
+    (torch: min → metric < best*(1-threshold))."""
+    import torch
+
+    t_opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=1.0)
+    t_sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        t_opt, mode="min", factor=0.5, patience=1, threshold=0.1
+    )
+    ours = ReduceLROnPlateau(
+        1.0, mode="min", factor=0.5, patience=1, threshold=0.1
+    )
+    # negative metrics: torch's bar is best*(1-thr) = -0.9*best-ish, i.e.
+    # *easier* to beat than best - thr*|best|
+    for m in [-1.0, -1.05, -1.08, -1.1, -1.12, -1.2, -1.2, -1.2, -1.3]:
+        t_sched.step(m)
+        lr = ours.step(m)
+        assert lr == pytest.approx(t_opt.param_groups[0]["lr"]), m
+
+
+def test_plateau_negative_metric_max_mode_torch_parity():
+    import torch
+
+    t_opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=1.0)
+    t_sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        t_opt, mode="max", factor=0.5, patience=0, threshold=0.2
+    )
+    ours = ReduceLROnPlateau(1.0, mode="max", factor=0.5, patience=0, threshold=0.2)
+    for m in [-1.0, -0.9, -0.85, -0.7, -0.7, -0.5]:
+        t_sched.step(m)
+        lr = ours.step(m)
+        assert lr == pytest.approx(t_opt.param_groups[0]["lr"]), m

@@ -146,3 +146,80 @@ def test_dataset_on_device_trains(tmp_path):
         train=False,
     )
     assert float(final.loss) < 0.55  # trained (untrained BCE ≈ 0.69)
+
+
+def test_streaming_eval_matches_full_gather_reference():
+    """The streaming (O(batch)) eval must reproduce compute_metrics exactly —
+    dynamic mean threshold, wrap-padded tail excluded (eval set size 7 with
+    global batch 8 forces a padded batch)."""
+    from mdeical_image_segmentation_tpu.metrics.metrics2d import compute_metrics
+
+    eval_ds = SyntheticSliceDataset(n_samples=7, resolution=32, seed=3)
+    model = UNetModel(
+        UNetConfig(in_channels=1, out_channels=1, unet_type="UNet", base_features=4)
+    )
+    args = TrainingArguments(
+        output_dir="/tmp/tpuseg_eval_stream",
+        max_steps=1,
+        per_device_eval_batch_size=1,
+        eval_strategy="no",
+        logging_steps=0,
+        save_steps=0,
+    )
+    trainer = Trainer(model, args, eval_dataset=eval_ds)
+    metrics = trainer.evaluate()
+
+    # reference computation: gather every logit and use the in-memory path
+    import jax as _jax
+    from mdeical_image_segmentation_tpu.data.collate import BatchLoader
+    from mdeical_image_segmentation_tpu.parallel import mesh as mesh_lib
+
+    logits, labels = [], []
+    n_rem = len(eval_ds)
+    for batch in BatchLoader(eval_ds, trainer.eval_batch, shuffle=False):
+        sharded = mesh_lib.shard_batch(trainer.mesh, batch)
+        lg, _ = trainer._eval_step(trainer.state, sharded)
+        take = min(n_rem, lg.shape[0])
+        logits.append(np.asarray(_jax.device_get(lg))[:take])
+        labels.append(batch["labels"][:take])
+        n_rem -= take
+    ref = compute_metrics(
+        np.concatenate(logits), np.concatenate(labels), threshold=None
+    )
+    assert metrics["eval_iou"] == pytest.approx(ref["iou"], abs=1e-5)
+    assert metrics["eval_dice"] == pytest.approx(ref["dice"], abs=1e-5)
+
+
+def test_multisteps_schedule_counts_optimizer_steps():
+    """With gradient_accumulation_steps=k the LR schedule must span
+    ceil(total/k) optimizer steps so it actually decays to ~0."""
+    import optax
+
+    model = UNetModel(
+        UNetConfig(in_channels=1, out_channels=1, unet_type="UNet", base_features=4)
+    )
+    args = TrainingArguments(
+        output_dir="/tmp/tpuseg_ms",
+        max_steps=32,
+        gradient_accumulation_steps=4,
+        learning_rate=1e-2,
+        warmup_ratio=0.0,
+        weight_decay=0.0,
+    )
+    trainer = Trainer(model, args)
+    opt = trainer._build_optimizer(32)
+    params = {"w": np.zeros(1, np.float32)}
+    state = opt.init(params)
+    grads = {"w": np.ones(1, np.float32)}
+    mags = []
+    for _ in range(32):
+        updates, state = opt.update(grads, state, params)
+        mags.append(float(np.abs(updates["w"][0])))
+    # micro-steps inside an accumulation window emit zero updates
+    assert all(m == 0.0 for i, m in enumerate(mags) if (i + 1) % 4 != 0)
+    per_opt_step = mags[3::4]  # 8 optimizer steps
+    # warmup point 0 → LR 0; peak at opt step 1; then linear decay over the
+    # remaining 7 optimizer steps — i.e. the schedule spans ceil(32/4)=8
+    # optimizer steps, not 32 (the bug decayed only 1/4 of the way)
+    assert per_opt_step[0] == 0.0 and per_opt_step[1] > 0.0
+    assert per_opt_step[-1] < per_opt_step[1] * 0.3
