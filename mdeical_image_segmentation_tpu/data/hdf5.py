@@ -72,7 +72,7 @@ class AbstractHDF5Dataset(ConfigDataset):
         self.halo_shape = slice_builder_config.get("halo_shape", [0, 0, 0])
 
         if global_normalization:
-            logger.info("Calculating mean and std of the raw data...")
+            logger.info("computing global normalization stats over the raw volume")
             with h5py.File(file_path, "r") as f:
                 raw = f[raw_internal_path][:]
                 stats = calculate_stats(raw)
@@ -96,10 +96,9 @@ class AbstractHDF5Dataset(ConfigDataset):
             stride_shape = slice_builder_config.get("stride_shape")
             if sum(self.halo_shape) != 0 and patch_shape != stride_shape:
                 logger.warning(
-                    f"Found non-zero halo shape {self.halo_shape}. "
-                    f"In this case: patch shape and stride shape should be equal "
-                    f"for optimal prediction performance, but found patch_shape: "
-                    f"{patch_shape} and stride_shape: {stride_shape}!"
+                    f"halo {self.halo_shape} with patch_shape {patch_shape} != "
+                    f"stride_shape {stride_shape}: overlapping windows are "
+                    f"predicted twice — equal shapes tile fastest"
                 )
 
         with h5py.File(file_path, "r") as f:
@@ -116,7 +115,7 @@ class AbstractHDF5Dataset(ConfigDataset):
             self.weight_slices = slice_builder.weight_slices
 
         self.patch_count = len(self.raw_slices)
-        logger.info(f"Number of patches: {self.patch_count}")
+        logger.info(f"{self.patch_count} patches from {file_path}")
 
     @abstractmethod
     def get_raw_patch(self, idx):
@@ -182,20 +181,22 @@ class AbstractHDF5Dataset(ConfigDataset):
         with h5py.File(self.file_path, "r") as f:
             raw = f[self.raw_internal_path]
             label = f[self.label_internal_path]
-            assert raw.ndim in [3, 4], "Raw dataset must be 3D (DxHxW) or 4D (CxDxHxW)"
+            assert raw.ndim in [3, 4], f"raw must be DxHxW or CxDxHxW, got ndim={raw.ndim}"
             assert label.ndim in [3, 4], (
-                "Label dataset must be 3D (DxHxW) or 4D (CxDxHxW)"
+                f"label must be DxHxW or CxDxHxW, got ndim={label.ndim}"
             )
             assert _volume_shape(raw) == _volume_shape(label), (
-                "Raw and labels have to be of the same size"
+                f"raw {_volume_shape(raw)} and label {_volume_shape(label)} "
+                "spatial shapes differ"
             )
             if self.weight_internal_path is not None:
                 weight_map = f[self.weight_internal_path]
                 assert weight_map.ndim in [3, 4], (
-                    "Weight map dataset must be 3D (DxHxW) or 4D (CxDxHxW)"
+                    f"weight map must be DxHxW or CxDxHxW, got ndim={weight_map.ndim}"
                 )
                 assert _volume_shape(raw) == _volume_shape(weight_map), (
-                    "Raw and weight map have to be of the same size"
+                    f"raw {_volume_shape(raw)} and weight map "
+                    f"{_volume_shape(weight_map)} spatial shapes differ"
                 )
 
     @classmethod
@@ -208,7 +209,7 @@ class AbstractHDF5Dataset(ConfigDataset):
         datasets = []
         for file_path in file_paths:
             try:
-                logger.info(f"Loading {phase} set from: {file_path}...")
+                logger.info(f"building {phase} dataset from {file_path}")
                 dataset = cls(
                     file_path=file_path,
                     phase=phase,
@@ -227,7 +228,7 @@ class AbstractHDF5Dataset(ConfigDataset):
                 )
                 datasets.append(dataset)
             except Exception:
-                logger.error(f"Skipping {phase} set: {file_path}", exc_info=True)
+                logger.error(f"unreadable {phase} file {file_path} — skipped", exc_info=True)
         return datasets
 
 
@@ -255,7 +256,7 @@ class StandardHDF5Dataset(AbstractHDF5Dataset):
         if getattr(self, attr) is None:
             with h5py.File(self.file_path, "r") as f:
                 assert internal_path in f, (
-                    f"Dataset {internal_path} not found in {self.file_path}"
+                    f"{self.file_path} has no dataset '{internal_path}'"
                 )
                 setattr(self, attr, f[internal_path][:])
         return getattr(self, attr)
@@ -273,7 +274,7 @@ class StandardHDF5Dataset(AbstractHDF5Dataset):
         if self._raw_padded is None:
             with h5py.File(self.file_path, "r") as f:
                 assert self.raw_internal_path in f, (
-                    f"Dataset {self.raw_internal_path} not found in {self.file_path}"
+                    f"{self.file_path} has no dataset '{self.raw_internal_path}'"
                 )
                 self._raw_padded = mirror_pad(
                     f[self.raw_internal_path][:], self.halo_shape
@@ -297,7 +298,7 @@ class LazyHDF5Dataset(AbstractHDF5Dataset):
             weight_internal_path=weight_internal_path,
             global_normalization=global_normalization,
         )
-        logger.info("Using LazyHDF5Dataset")
+        logger.info("lazy H5 access: per-patch reads, padded raw memoized in-file")
 
     def get_raw_patch(self, idx):
         with h5py.File(self.file_path, "r") as f:

@@ -177,7 +177,7 @@ def _dataset_class(loaders_config: Dict[str, Any]):
     if name is None:
         name = "StandardHDF5Dataset"
         logger.warning(
-            f"Cannot find dataset class in the config. Using default '{name}'."
+            f"loaders config names no dataset class; defaulting to '{name}'"
         )
     return DATASETS.get(name)
 
@@ -188,14 +188,14 @@ def get_train_loaders(config: Dict[str, Any], n_devices: int = 1) -> Dict[str, V
     ``n_devices`` plays the role of the reference's GPU count: the global
     batch is batch_size × n_devices.
     """
-    assert "loaders" in config, "Could not find data loaders configuration"
+    assert "loaders" in config, "config is missing its 'loaders' section"
     loaders_config = config["loaders"]
-    logger.info("Creating training and validation set loaders...")
+    logger.info("assembling train/val loaders")
     dataset_class = _dataset_class(loaders_config)
 
     assert set(loaders_config["train"]["file_paths"]).isdisjoint(
         loaders_config["val"]["file_paths"]
-    ), "Train and validation 'file_paths' overlap. One cannot use validation data for training!"
+    ), "train and val file_paths intersect — the val volumes would leak into training"
 
     train_datasets = dataset_class.create_datasets(loaders_config, phase="train")
     val_datasets = dataset_class.create_datasets(loaders_config, phase="val")
@@ -207,7 +207,7 @@ def get_train_loaders(config: Dict[str, Any], n_devices: int = 1) -> Dict[str, V
         )
         batch_size = batch_size * n_devices
     num_workers = loaders_config.get("num_workers", 1)
-    logger.info(f"Number of workers for train/val dataloader: {num_workers}")
+    logger.info(f"train/val loaders: {num_workers} worker threads")
     prefetch = 2 if num_workers else 0
 
     return {
@@ -224,9 +224,9 @@ def get_train_loaders(config: Dict[str, Any], n_devices: int = 1) -> Dict[str, V
 
 def get_test_loaders(config: Dict[str, Any], n_devices: int = 1) -> Iterator[VolumeLoader]:
     """Generator of per-file test loaders (reference utils.py:230-271)."""
-    assert "loaders" in config, "Could not find data loaders configuration"
+    assert "loaders" in config, "config is missing its 'loaders' section"
     loaders_config = config["loaders"]
-    logger.info("Creating test set loaders...")
+    logger.info("assembling test loaders")
     dataset_class = _dataset_class(loaders_config)
 
     test_datasets = dataset_class.create_datasets(loaders_config, phase="test")
@@ -235,7 +235,7 @@ def get_test_loaders(config: Dict[str, Any], n_devices: int = 1) -> Iterator[Vol
         batch_size = batch_size * n_devices
 
     for test_dataset in test_datasets:
-        logger.info(f"Loading test set from: {test_dataset.file_path}...")
+        logger.info(f"test volume: {test_dataset.file_path}")
         collate_fn = getattr(
             test_dataset, "prediction_collate", default_prediction_collate
         )

@@ -1,11 +1,12 @@
 """Patch indexing over volumes: SliceBuilder / FilterSliceBuilder.
 
-Reference: /root/reference/dataset/unet3d_dataset/utils.py:40-179.  Generates
-(z, y, x[, c]) slice tuples tiling a DxHxW (or CxDxHxW) volume with a given
-patch/stride shape; ``_gen_indices`` appends a final offset patch so the tail
-is always covered (utils.py:119-125).  ``FilterSliceBuilder`` drops patches
-whose non-ignore label fraction is below a threshold, with a 1% random slack
-acceptance from RandomState(47) (utils.py:133-163).
+Behavioral spec: /root/reference/dataset/unet3d_dataset/utils.py:40-179.
+A volume of shape DxHxW (or CxDxHxW) is tiled into fixed-shape patches at
+stride intervals; the enumeration must cover the tail of every axis (a final
+patch flush with the end is emitted when the strided walk stops short —
+utils.py:119-125), and ``FilterSliceBuilder`` must drop mostly-background
+patches with the same RandomState(47) slack-acceptance stream so filtered
+patch lists match the reference exactly.
 
 These run at dataset-construction time on the host; the fixed patch shapes
 they produce are exactly what keeps the device-side programs static-shaped.
@@ -13,7 +14,8 @@ they produce are exactly what keeps the device-side programs static-shaped.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+import itertools
+from typing import Any, Dict, List, Tuple
 
 import numpy as np
 
@@ -25,9 +27,22 @@ logger = get_logger("Dataset")
 SLICE_BUILDERS = Registry("slice_builder")
 
 
+def _axis_starts(extent: int, patch: int, stride: int) -> List[int]:
+    """Start offsets of patches along one axis: a strided walk plus, when the
+    walk doesn't reach it, one final start flush with the axis end (so the
+    tail voxels are always covered — reference _gen_indices)."""
+    assert extent >= patch, (
+        f"volume axis ({extent}) shorter than the patch axis ({patch})"
+    )
+    starts = list(range(0, extent - patch + 1, stride))
+    if starts[-1] + patch < extent:
+        starts.append(extent - patch)
+    return starts
+
+
 @SLICE_BUILDERS.register("SliceBuilder")
 class SliceBuilder:
-    """Builds patch slice positions for raw/label/weight arrays."""
+    """Enumerates (z, y, x[, c]) slice tuples for raw/label/weight arrays."""
 
     def __init__(self, raw_dataset, label_dataset, weight_dataset, patch_shape,
                  stride_shape, **kwargs):
@@ -66,46 +81,38 @@ class SliceBuilder:
 
     @staticmethod
     def _build_slices(dataset, patch_shape, stride_shape) -> List[Tuple[slice, ...]]:
-        slices = []
-        if dataset.ndim == 4:
-            in_channels, i_z, i_y, i_x = dataset.shape
-        else:
-            i_z, i_y, i_x = dataset.shape
-        k_z, k_y, k_x = patch_shape
-        s_z, s_y, s_x = stride_shape
-        for z in SliceBuilder._gen_indices(i_z, k_z, s_z):
-            for y in SliceBuilder._gen_indices(i_y, k_y, s_y):
-                for x in SliceBuilder._gen_indices(i_x, k_x, s_x):
-                    slice_idx = (
-                        slice(z, z + k_z),
-                        slice(y, y + k_y),
-                        slice(x, x + k_x),
-                    )
-                    if dataset.ndim == 4:
-                        slice_idx = (slice(0, in_channels),) + slice_idx
-                    slices.append(slice_idx)
-        return slices
-
-    @staticmethod
-    def _gen_indices(i, k, s):
-        assert i >= k, "Sample size has to be bigger than the patch size"
-        j = 0
-        for j in range(0, i - k + 1, s):
-            yield j
-        if j + k < i:
-            yield i - k
+        """All patch windows, z-major (z → y → x), channels whole."""
+        spatial = dataset.shape[-3:]
+        channels = dataset.shape[0] if dataset.ndim == 4 else None
+        per_axis = [
+            _axis_starts(extent, patch, stride)
+            for extent, patch, stride in zip(spatial, patch_shape, stride_shape)
+        ]
+        windows = []
+        for origin in itertools.product(*per_axis):
+            window = tuple(
+                slice(start, start + patch)
+                for start, patch in zip(origin, patch_shape)
+            )
+            if channels is not None:
+                window = (slice(0, channels),) + window
+            windows.append(window)
+        return windows
 
     @staticmethod
     def _check_patch_shape(patch_shape):
-        assert len(patch_shape) == 3, "patch_shape must be a 3D tuple"
+        assert len(patch_shape) == 3, f"patch_shape needs 3 axes, got {patch_shape}"
         assert patch_shape[1] >= 64 and patch_shape[2] >= 64, (
-            "Height and Width must be greater or equal 64"
+            "patch H and W must be at least 64"
         )
 
 
 @SLICE_BUILDERS.register("FilterSliceBuilder")
 class FilterSliceBuilder(SliceBuilder):
-    """Drop patches containing more than `1 - threshold` background/ignore."""
+    """Keeps patches whose non-ignore label fraction exceeds ``threshold``,
+    plus a 1% random rescue of background patches (RandomState(47), drawn
+    only for patches that fail the fraction test — stream parity with the
+    reference's short-circuiting predicate)."""
 
     def __init__(self, raw_dataset, label_dataset, weight_dataset, patch_shape,
                  stride_shape, ignore_index=None, threshold=0.6,
@@ -115,29 +122,27 @@ class FilterSliceBuilder(SliceBuilder):
         if label_dataset is None:
             return
 
-        rand_state = np.random.RandomState(47)
+        rescue_rng = np.random.RandomState(47)
 
-        def ignore_predicate(raw_label_idx):
-            label_idx = raw_label_idx[1]
-            patch = label_dataset[label_idx]
+        def keep(pair):
+            label_window = pair[1]
+            patch = label_dataset[label_window]
             if ignore_index is not None:
                 patch = np.copy(patch)
                 patch[patch == ignore_index] = 0
-            non_ignore = np.count_nonzero(patch != 0) / patch.size
-            return non_ignore > threshold or rand_state.rand() < slack_acceptance
+            foreground = np.count_nonzero(patch != 0) / patch.size
+            return foreground > threshold or rescue_rng.rand() < slack_acceptance
 
-        logger.info("Filtering slices...")
-        filtered = list(filter(ignore_predicate,
-                               zip(self.raw_slices, self.label_slices)))
-        raw_slices, label_slices = zip(*filtered) if filtered else ((), ())
-        self._raw_slices = list(raw_slices)
-        self._label_slices = list(label_slices)
+        logger.info("filtering mostly-background patches")
+        kept = [p for p in zip(self.raw_slices, self.label_slices) if keep(p)]
+        self._raw_slices = [raw for raw, _ in kept]
+        self._label_slices = [label for _, label in kept]
 
 
 def get_slice_builder(raws, labels, weight_maps, config: Dict[str, Any]):
     """Name-dispatched construction (reference utils.py:175-179)."""
     assert "name" in config
-    logger.info(f"Slice builder config: {config}")
+    logger.info(f"slice builder config: {config}")
     cls = SLICE_BUILDERS.get(config["name"])
     return cls(raws, labels, weight_maps, **{k: v for k, v in config.items()
                                              if k != "name"})

@@ -32,10 +32,10 @@ def calculate_stats(img: Optional[np.ndarray], skip: bool = False) -> Dict[str, 
 def mirror_pad(image: np.ndarray, padding_shape: Sequence[int]) -> np.ndarray:
     """Reflect-pad each spatial dim by its halo (ZYX; channel dim untouched)."""
     assert len(padding_shape) == 3, (
-        "Padding shape must be specified for each dimension: ZYX"
+        "halo needs one entry per spatial axis (Z, Y, X)"
     )
     if any(p < 0 for p in padding_shape):
-        raise ValueError("padding_shape must be non-negative")
+        raise ValueError(f"negative halo entries: {pad_width}")
     if all(p == 0 for p in padding_shape):
         return image
     pad_width = [(p, p) for p in padding_shape]

@@ -59,13 +59,13 @@ class RandomFlip:
     configured probability is the probability of NOT flipping)."""
 
     def __init__(self, random_state, axis_prob=0.5, **kwargs):
-        assert random_state is not None, "RandomState cannot be None"
+        assert random_state is not None, "a seeded RandomState is required (raw/label geometry lock)"
         self.random_state = random_state
         self.axes = (0, 1, 2)
         self.axis_prob = axis_prob
 
     def __call__(self, m):
-        assert m.ndim in [3, 4], "Supports only 3D (DxHxW) or 4D (CxDxHxW) images"
+        assert m.ndim in [3, 4], f"expected DxHxW or CxDxHxW, got ndim={m.ndim}"
         for axis in self.axes:
             if self.random_state.uniform() > self.axis_prob:
                 if m.ndim == 3:
@@ -369,12 +369,12 @@ class LabelToAffinities(AbstractLabelToBoundary):
                  aggregate_affinities=False, z_offsets=None, **kwargs):
         super().__init__(ignore_index=ignore_index, append_label=append_label,
                          aggregate_affinities=aggregate_affinities)
-        assert isinstance(offsets, (list, tuple)), "offsets must be a list or a tuple"
-        assert all(a > 0 for a in offsets), "'offsets must be positive"
-        assert len(set(offsets)) == len(offsets), "'offsets' must be unique"
+        assert isinstance(offsets, (list, tuple)), f"offsets: expected list/tuple, got {type(offsets).__name__}"
+        assert all(a > 0 for a in offsets), f"offsets must all be > 0: {offsets}"
+        assert len(set(offsets)) == len(offsets), f"duplicate offsets: {offsets}"
         if z_offsets is not None:
             assert len(offsets) == len(z_offsets), (
-                "z_offsets length must be the same as the length of offsets"
+                f"need one z_offset per xy offset ({len(offsets)}), got {len(z_offsets)}"
             )
         else:
             z_offsets = list(offsets)
@@ -395,9 +395,9 @@ class LabelToZAffinities(AbstractLabelToBoundary):
 
     def __init__(self, offsets, ignore_index=None, append_label=False, **kwargs):
         super().__init__(ignore_index=ignore_index, append_label=append_label)
-        assert isinstance(offsets, (list, tuple)), "offsets must be a list or a tuple"
-        assert all(a > 0 for a in offsets), "'offsets must be positive"
-        assert len(set(offsets)) == len(offsets), "'offsets' must be unique"
+        assert isinstance(offsets, (list, tuple)), f"offsets: expected list/tuple, got {type(offsets).__name__}"
+        assert all(a > 0 for a in offsets), f"offsets must all be > 0: {offsets}"
+        assert len(set(offsets)) == len(offsets), f"duplicate offsets: {offsets}"
         self.kernels = []
         z_axis = self.AXES_TRANSPOSE[2]
         for z_offset in offsets:
@@ -570,7 +570,7 @@ class ToTensor:
         self.dtype = dtype
 
     def __call__(self, m):
-        assert m.ndim in [3, 4], "Supports only 3D (DxHxW) or 4D (CxDxHxW) images"
+        assert m.ndim in [3, 4], f"expected DxHxW or CxDxHxW, got ndim={m.ndim}"
         if self.expand_dims and m.ndim == 3:
             m = np.expand_dims(m, axis=0)
         if m.ndim == 4:
@@ -671,7 +671,7 @@ class Transformer:
         return TRANSFORMS.get(class_name)
 
     def _create_transform(self, name):
-        assert name in self.phase_config, f"Could not find {name} transform"
+        assert name in self.phase_config, f"phase config has no '{name}' pipeline"
         return Compose(
             [self._create_augmentation(c) for c in self.phase_config[name]]
         )
