@@ -35,7 +35,7 @@ def mirror_pad(image: np.ndarray, padding_shape: Sequence[int]) -> np.ndarray:
         "halo needs one entry per spatial axis (Z, Y, X)"
     )
     if any(p < 0 for p in padding_shape):
-        raise ValueError(f"negative halo entries: {pad_width}")
+        raise ValueError(f"negative halo entries: {tuple(padding_shape)}")
     if all(p == 0 for p in padding_shape):
         return image
     pad_width = [(p, p) for p in padding_shape]
