@@ -79,6 +79,13 @@ class TrainingArguments:
     # under load is expensive).  Samples i.i.d. minibatches via the device
     # PRNG instead of epoch permutations.  Must fit in ~2 GB.
     dataset_on_device: bool = False
+    # Out-of-core input pipeline: decode threads per loader + ready-batch
+    # queue depth.  With workers > 0 and an uncached dataset, samples are
+    # stream-decoded from disk in parallel with device compute — datasets
+    # larger than host RAM train at the same step rate as cached ones as
+    # long as decode bandwidth × workers ≥ device consumption rate.
+    dataloader_num_workers: int = 0
+    dataloader_prefetch: int = 2
     eval_threshold: Optional[float] = None  # None → reference mean-threshold
     plot_eval: bool = False  # reference dumps output.png every eval
     log_dir: Optional[str] = None
@@ -419,6 +426,8 @@ class Trainer:
             seed=self.args.seed,
             collator=self.data_collator,
             process_shard=self._process_shard,
+            num_workers=self.args.dataloader_num_workers,
+            prefetch=self.args.dataloader_prefetch,
         )
         first = next(iter(loader))
         if self.state is None:
@@ -521,6 +530,8 @@ class Trainer:
             shuffle=False,
             collator=self.data_collator,
             process_shard=self._process_shard,
+            num_workers=self.args.dataloader_num_workers,
+            prefetch=self.args.dataloader_prefetch,
         )
 
     def _evaluate_streaming(self, dataset) -> Dict[str, float]:

@@ -217,3 +217,70 @@ def test_batchloader_wrap_pad_handles_tiny_datasets():
         batches[0]["images"][:, 0, 0, 0],
         np.tile([0.0, 1.0, 2.0], 6)[:16],
     )
+
+
+@pytest.fixture(scope="module")
+def png_dir(tmp_path_factory):
+    """A DRIVE-layout PNG directory for out-of-core streaming tests."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("drive_like")
+    (root / "images").mkdir()
+    (root / "labels").mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(20):
+        img = (rng.rand(96, 96, 3) * 255).astype(np.uint8)
+        lab = ((rng.rand(96, 96) > 0.5) * 255).astype(np.uint8)
+        Image.fromarray(img).save(root / "images" / f"{i:02d}.png")
+        Image.fromarray(lab).save(root / "labels" / f"{i:02d}.png")
+    return str(root)
+
+
+def test_streaming_dataset_matches_cached(png_dir):
+    """Out-of-core mode (cache=False + decode workers) must produce the exact
+    same batches as the RAM-cached dataset."""
+    from mdeical_image_segmentation_tpu.data.collate import BatchLoader
+    from mdeical_image_segmentation_tpu.data.png2d import DRIVEDataset
+
+    cached = DRIVEDataset(png_dir, mode="train", resolution=64, cache=True)
+    streamed = DRIVEDataset(png_dir, mode="train", resolution=64, cache=False)
+    assert len(cached) == len(streamed) == 13  # seed-42 split quirk: 13/4/3 of 20
+
+    kw = dict(batch_size=4, shuffle=True, seed=5)
+    for bc, bs in zip(
+        BatchLoader(cached, **kw, prefetch=0),
+        BatchLoader(streamed, **kw, prefetch=2, num_workers=4),
+    ):
+        np.testing.assert_array_equal(bc["images"], bs["images"])
+        np.testing.assert_array_equal(bc["labels"], bs["labels"])
+
+
+def test_streaming_keeps_loader_throughput(png_dir):
+    """Decode workers must hide most of the per-sample decode cost: the
+    streamed loader with 4 workers should stay within a small factor of the
+    fully-RAM-cached loader (generous bound — CI timing noise)."""
+    import time
+
+    from mdeical_image_segmentation_tpu.data.collate import BatchLoader
+    from mdeical_image_segmentation_tpu.data.png2d import DRIVEDataset
+
+    cached = DRIVEDataset(png_dir, mode="train", resolution=256, cache=True)
+    for i in range(len(cached)):
+        cached[i]  # warm the RAM cache
+    streamed = DRIVEDataset(png_dir, mode="train", resolution=256, cache=False)
+
+    def epoch_time(ds, **kw):
+        loader = BatchLoader(ds, 4, shuffle=True, seed=5, **kw)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n = sum(1 for _ in loader)
+            best = min(best, time.perf_counter() - t0)
+        assert n == 3
+        return best
+
+    t_cached = epoch_time(cached, prefetch=0)
+    t_streamed = epoch_time(streamed, prefetch=2, num_workers=4)
+    # the real bound is "TPU not starved" (bench-level); here we just pin
+    # that parallel decode beats any pathological serialization
+    assert t_streamed < max(t_cached * 25, 2.5), (t_streamed, t_cached)

@@ -210,3 +210,21 @@ class TestSkimageCompat:
         m[2:6, 2:6] = 1
         b = find_boundaries(m, connectivity=2, mode="inner")
         assert b[2, 2] and not b[1, 2]  # object side only
+
+
+def test_transform_gallery_script_builds(tmp_path):
+    """The visual-sanity gallery (reference transformer-test.ipynb equivalent)
+    renders a grid image per pipeline."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "transform_gallery",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "scripts", "transform_gallery.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    paths = mod.build_gallery(str(tmp_path))
+    for p in paths:
+        assert os.path.getsize(p) > 10_000  # a real rendered grid, not a stub

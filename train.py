@@ -43,9 +43,21 @@ def parse_args():
     )
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--base_features", type=int, default=64)
+    p.add_argument(
+        "--remat", choices=["auto", "on", "off"], default="auto",
+        help="rematerialize blocks. 'auto' enables it for the UNet-3+ family "
+        "at >=384px, where the non-remat backward program exceeds TPU "
+        "compile limits — this makes the reference's 512px config of record "
+        "(scripts/train.sh) work with default flags",
+    )
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--dataset_on_device", action="store_true",
                    help="keep the train set in HBM; sample batches on device")
+    p.add_argument("--stream", action="store_true",
+                   help="out-of-core mode: decode PNGs per access instead of "
+                   "caching them in RAM (datasets larger than host memory)")
+    p.add_argument("--dataloader_num_workers", type=int, default=0,
+                   help="decode threads per loader (pair with --stream)")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args()
 
@@ -82,20 +94,31 @@ def main():
     else:
         assert args.data_path, "--data_path or --synthetic required"
         ds_cls = DRIVEDataset if args.dataset == "DRIVE" else BUSIDataset
-        train_ds = ds_cls(args.data_path, mode="train", resolution=args.resolution)
-        eval_ds = ds_cls(args.data_path, mode="eval", resolution=args.resolution)
+        train_ds = ds_cls(args.data_path, mode="train",
+                          resolution=args.resolution, cache=not args.stream)
+        eval_ds = ds_cls(args.data_path, mode="eval",
+                         resolution=args.resolution, cache=not args.stream)
+
+    if args.remat == "auto":
+        use_remat = args.unet_type.startswith("UNet_3Plus") and args.resolution >= 384
+    else:
+        use_remat = args.remat == "on"
+    if use_remat:
+        print(f"remat enabled ({args.unet_type} @ {args.resolution}px)")
 
     config = UNetConfig(
         in_channels=args.in_channels,
         out_channels=args.out_channels,
         unet_type=args.unet_type,
         base_features=args.base_features,
+        remat=use_remat,
         compute_dtype="bfloat16" if args.bf16 else "float32",
     )
     model = UNetModel(config)
 
     targs = TrainingArguments(
         output_dir=output_dir,
+        dataloader_num_workers=args.dataloader_num_workers,
         eval_strategy=args.eval_strategy,
         eval_steps=args.eval_steps,
         logging_steps=args.logging_steps,
