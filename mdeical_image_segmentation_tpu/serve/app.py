@@ -205,6 +205,8 @@ class BatchingInferenceEngine:
         self._queues: Dict[str, "queue.Queue[_Request]"] = {}
         self._lock = threading.Lock()
         self._running = True
+        # batch-occupancy accounting: model → [device batches, requests]
+        self._occupancy: Dict[str, List[int]] = {}
 
     def _queue_for(self, key, model_name: str) -> "queue.Queue[_Request]":
         # one worker per (model, payload arity): requests with and without a
@@ -235,6 +237,10 @@ class BatchingInferenceEngine:
                     batch.append(q.get(timeout=remaining))
                 except queue.Empty:
                     break
+            with self._lock:
+                occ = self._occupancy.setdefault(model_name, [0, 0])
+                occ[0] += 1
+                occ[1] += len(batch)
             try:
                 arity = len(batch[0].payload)
                 stacked = [
@@ -260,6 +266,19 @@ class BatchingInferenceEngine:
         if req.error:
             raise RuntimeError(req.error)
         return req.result
+
+    def occupancy(self) -> Dict[str, Any]:
+        """Average requests coalesced per device batch, per model — the
+        measure of how well concurrent load amortizes the forward."""
+        with self._lock:
+            return {
+                name: {
+                    "batches": b,
+                    "requests": r,
+                    "avg_batch": round(r / b, 2) if b else 0.0,
+                }
+                for name, (b, r) in self._occupancy.items()
+            }
 
     def stop(self):
         self._running = False
@@ -419,7 +438,9 @@ class SegmentationServer:
                     self._send({"models": server.registry.names(),
                                 "default": server.registry.default})
                 elif self.path == "/stats":
-                    self._send(server.stats.summary())
+                    summary = server.stats.summary()
+                    summary["batch_occupancy"] = server.engine.occupancy()
+                    self._send(summary)
                 else:
                     self._send({"response": "not found", "status": 404}, 404)
 
