@@ -198,10 +198,16 @@ class BatchingInferenceEngine:
     """Coalesce concurrent requests per model into device batches."""
 
     def __init__(self, registry: ModelRegistry, max_batch: int = 8,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0, pad_to_pow2: bool = True):
         self.registry = registry
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
+        # Pad coalesced batches up to the next power of two (repeating the
+        # last sample) so the jitted forward sees only ⌈log2(max_batch)⌉+1
+        # distinct batch shapes instead of max_batch: on TPU every new shape
+        # is a fresh XLA program (30-200 s remote compile through the axon
+        # tunnel), and a cold shape hit mid-traffic blows the request timeout.
+        self.pad_to_pow2 = pad_to_pow2
         self._queues: Dict[str, "queue.Queue[_Request]"] = {}
         self._lock = threading.Lock()
         self._running = True
@@ -247,8 +253,17 @@ class BatchingInferenceEngine:
                     np.stack([r.payload[i] for r in batch], axis=0)
                     for i in range(arity)
                 ]
+                n = len(batch)
+                if self.pad_to_pow2 and n & (n - 1):
+                    pad = (1 << (n - 1).bit_length()) - n
+                    stacked = [
+                        np.concatenate(
+                            [s, np.repeat(s[-1:], pad, axis=0)], axis=0
+                        )
+                        for s in stacked
+                    ]
                 probs = entry.forward(*stacked)
-                for r, p in zip(batch, probs):
+                for r, p in zip(batch, probs[:n]):
                     r.result = p
             except Exception as e:  # pragma: no cover - surfaced per request
                 for r in batch:

@@ -55,6 +55,17 @@ def start_server(port: int, max_batch: int = 8, max_wait_ms: float = 8.0):
     def forward(x):
         return np.asarray(fwd(jnp.asarray(x)))
 
+    # Pre-compile every batch shape the engine can form. With pad_to_pow2
+    # the engine only ever runs {1, 2, 4, ..., max_batch}; remote compiles
+    # take 30-200 s here and would trip the engine's 60 s inference timeout
+    # if a cold shape were hit mid-sweep.
+    b = 1
+    while b <= max_batch:
+        t0 = time.time()
+        np.asarray(fwd(jnp.zeros((b, 256, 256, 3), jnp.float32)))
+        print(f"warm batch={b}: {time.time() - t0:.1f}s", flush=True)
+        b *= 2
+
     registry = ModelRegistry()
     registry.register(
         ModelEntry(name="vessel", forward=forward, in_channels=3,

@@ -139,6 +139,46 @@ def test_concurrent_requests_batched(server, image_path):
     assert all(s == 200 for s, _ in results)
 
 
+def test_engine_pads_batches_to_pow2():
+    """Non-pow2 coalesced batches reach the forward padded (3 → 4) and each
+    request still gets its own sample's result back."""
+    from mdeical_image_segmentation_tpu.serve.app import (
+        BatchingInferenceEngine, ModelEntry, ModelRegistry)
+
+    seen = []
+
+    def forward(x):
+        seen.append(x.shape[0])
+        return x * 2.0
+
+    registry = ModelRegistry()
+    registry.register(
+        ModelEntry(name="echo", forward=forward, in_channels=1,
+                   resolution=2, threshold=0.5),
+        default=True,
+    )
+    engine = BatchingInferenceEngine(registry, max_batch=8, max_wait_ms=200.0)
+    try:
+        payloads = [np.full((2, 2, 1), float(i), np.float32) for i in range(3)]
+        out = [None] * 3
+
+        def hit(i):
+            out[i] = engine.infer("echo", payloads[i])
+
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(3):
+            np.testing.assert_array_equal(out[i], payloads[i] * 2.0)
+        # every device batch the forward saw was a power of two
+        assert seen and all(b & (b - 1) == 0 for b in seen)
+        assert sum(min(b, 3) for b in seen) >= 3
+    finally:
+        engine.stop()
+
+
 def test_stats_percentiles(server):
     _, port, _ = server
     status, body = _get(port, "/stats")
