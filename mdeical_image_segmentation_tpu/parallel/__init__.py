@@ -6,10 +6,11 @@ from .mesh import (
     replicate,
     local_batch_size,
 )
-from .spatial import spatial_sharded_apply
+from .spatial import make_spatial_train_step, spatial_sharded_apply
 from . import distributed
 
 __all__ = [
+    "make_spatial_train_step",
     "spatial_sharded_apply",
     "make_mesh",
     "batch_sharding",

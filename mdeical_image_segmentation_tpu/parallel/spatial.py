@@ -1,4 +1,4 @@
-"""Spatially-sharded volumetric inference with ICI halo exchange.
+"""Spatially-sharded volumetric inference and training with ICI halo exchange.
 
 The reference handles inputs larger than memory purely by host-side patch
 decomposition (SliceBuilder + halo mirror-pad + overlap averaging —
@@ -27,6 +27,8 @@ from typing import Any, Callable, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
+from jax import lax
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -105,3 +107,89 @@ def spatial_sharded_apply(
         check_rep=False,
     )
     return fn(variables, volume)
+
+
+def _spec_for(ndim: int, shard_axis: int, axis_name: str) -> P:
+    spec = [None] * ndim
+    spec[shard_axis] = axis_name
+    return P(*spec)
+
+
+def make_spatial_train_step(
+    model,
+    criterion: Callable[[jax.Array, jax.Array], jax.Array],
+    optimizer,
+    mesh: Mesh,
+    *,
+    halo: int,
+    shard_axis: int = 2,
+    axis_name: str = DATA_AXIS,
+    train: bool = True,
+    donate: bool = True,
+):
+    """Build a jitted SPMD train step over ONE spatially-sharded volume.
+
+    Each device holds a contiguous slab of the volume's ``shard_axis``;
+    forward/backward run per shard with a ``halo``-row exchange over ICI
+    (autodiff flows through :func:`_halo_exchange` — ``ppermute``'s
+    transpose is the inverse permutation, so halo-region input gradients
+    return to their home shard).
+
+    Objective semantics: the step minimizes the MEAN of the per-shard
+    criterion.  For per-pixel-mean losses (BCE, MSE, CE) this equals the
+    monolithic global loss exactly (shards are equal-sized by the
+    divisibility check); for ratio losses (Dice) it is per-shard-patch
+    semantics — the same objective the reference's patch-based training
+    already optimizes (its loaders feed SliceBuilder patches of large
+    volumes to the trainer: reference dataset/unet3d_dataset/hdf5.py +
+    train/unet3d_train/trainer.py), with the halo supplying the
+    cross-boundary context those patches lack.  Normalization statistics
+    are per-shard, matching the same patch-training semantics.
+
+    Dropout: each shard folds ``lax.axis_index`` into the step rng, so
+    masks are independent across shards (like independent patches).
+
+    Returns ``step(params, opt_state, volume, labels, rng) ->
+    (params, opt_state, loss)`` with params/opt_state replicated and the
+    volume/labels laid out with ``PartitionSpec`` sharding ``shard_axis``.
+    """
+
+    def per_shard(params, opt_state, x, y, rng):
+        rng = jax.random.fold_in(rng, lax.axis_index(axis_name))
+
+        def loss_fn(p):
+            xh = _halo_exchange(x, halo, shard_axis, axis_name)
+            kwargs = {"rngs": {"dropout": rng}} if train else {}
+            out = model.apply({"params": p}, xh, train, **kwargs)
+            slicer = [slice(None)] * out.ndim
+            slicer[shard_axis] = slice(halo, -halo)
+            return criterion(out[tuple(slicer)], y)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        # total objective = mean over shards ⇒ combine local grads by pmean
+        grads = lax.pmean(grads, axis_name)
+        loss = lax.pmean(loss, axis_name)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def checked(params, opt_state, volume, labels, rng):
+        n_shards = mesh.shape[axis_name]
+        extent = volume.shape[shard_axis]
+        assert extent % n_shards == 0, (
+            f"spatial axis extent {extent} not divisible by {n_shards} shards"
+        )
+        assert 0 < halo < extent // n_shards, (
+            f"halo {halo} must be in (0, shard extent {extent // n_shards})"
+        )
+        spec = _spec_for(volume.ndim, shard_axis, axis_name)
+        fn = shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(), P(), spec, spec, P()),
+            out_specs=(P(), P(), P()),
+            check_rep=False,
+        )
+        return fn(params, opt_state, volume, labels, rng)
+
+    return jax.jit(checked, donate_argnums=(0, 1) if donate else ())

@@ -88,3 +88,133 @@ def test_oversized_halo_rejected(setup, mesh):
     model, variables, vol, _ = setup
     with pytest.raises(AssertionError, match="halo"):
         spatial_sharded_apply(model, variables, vol, mesh, halo=32, shard_axis=2)
+
+
+# ---------------------------------------------------------------------------
+# spatially-sharded TRAINING (make_spatial_train_step)
+# ---------------------------------------------------------------------------
+
+
+def _emulated_loss(model, vol, labels, n_shards, halo, axis=2):
+    """Single-device replica of the sharded objective: split, halo-pad from
+    real neighbors (reflect at volume edges), per-shard MSE, mean."""
+
+    def loss_fn(params):
+        shards = jnp.split(vol, n_shards, axis=axis)
+        y_shards = jnp.split(labels, n_shards, axis=axis)
+        losses = []
+        for i, s in enumerate(shards):
+            if i > 0:
+                left = jax.lax.slice_in_dim(
+                    shards[i - 1], shards[i - 1].shape[axis] - halo, None, axis=axis
+                )
+            else:
+                left = jnp.flip(jax.lax.slice_in_dim(s, 1, halo + 1, axis=axis), axis)
+            if i < n_shards - 1:
+                right = jax.lax.slice_in_dim(shards[i + 1], 0, halo, axis=axis)
+            else:
+                right = jnp.flip(
+                    jax.lax.slice_in_dim(s, s.shape[axis] - halo - 1, -1, axis=axis),
+                    axis,
+                )
+            padded = jnp.concatenate([left, s, right], axis=axis)
+            out = model.apply({"params": params}, padded, False)
+            out = jax.lax.slice_in_dim(out, halo, out.shape[axis] - halo, axis=axis)
+            losses.append(jnp.mean(jnp.square(out - y_shards[i])))
+        return jnp.mean(jnp.stack(losses))
+
+    return loss_fn
+
+
+def test_train_step_matches_emulated_reference(mesh):
+    """One sharded SGD step == one step of the identical math on one device."""
+    import optax
+
+    from mdeical_image_segmentation_tpu.parallel.spatial import (
+        make_spatial_train_step)
+
+    model = get_model(
+        {"name": "UNet3D", "in_channels": 1, "out_channels": 1, "f_maps": 4,
+         "num_levels": 2, "layer_order": "cr"}
+    )
+    rs = np.random.RandomState(3)
+    vol = jnp.asarray(rs.rand(1, 8, 256, 32, 1), jnp.float32)
+    labels = jnp.asarray((rs.rand(1, 8, 256, 32, 1) > 0.5), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), vol[:, :, :32], False)["params"]
+    params = jax.tree_util.tree_map(
+        lambda x: x * 4.0 if x.ndim == 5 else x, params
+    )
+
+    opt = optax.sgd(0.05)
+    opt_state = opt.init(params)
+    criterion = lambda out, y: jnp.mean(jnp.square(out - y))
+
+    step = make_spatial_train_step(
+        model, criterion, opt, mesh, halo=16, shard_axis=2, train=False,
+        donate=False,
+    )
+    new_params, _, loss = step(params, opt_state, vol, labels,
+                               jax.random.PRNGKey(1))
+
+    n = mesh.shape["data"]
+    ref_loss_fn = _emulated_loss(model, vol, labels, n, halo=16)
+    ref_loss, ref_grads = jax.value_and_grad(ref_loss_fn)(params)
+    updates, _ = opt.update(ref_grads, opt.init(params), params)
+    ref_params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-7),
+        new_params, ref_params,
+    )
+
+
+def test_train_step_loss_decreases(mesh):
+    """E2e: GroupNorm ('gcr') model + BCEDice under spatial sharding trains."""
+    import optax
+
+    from mdeical_image_segmentation_tpu.losses import BCEDiceLoss
+    from mdeical_image_segmentation_tpu.parallel.spatial import (
+        make_spatial_train_step)
+
+    model = get_model(
+        {"name": "UNet3D", "in_channels": 1, "out_channels": 1, "f_maps": 8,
+         "num_levels": 2, "layer_order": "gcr"}
+    )
+    rs = np.random.RandomState(0)
+    vol = jnp.asarray(rs.rand(1, 8, 128, 32, 1), jnp.float32)
+    labels = (vol > 0.5).astype(jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), vol[:, :, :16], False)["params"]
+
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+    step = make_spatial_train_step(
+        model, BCEDiceLoss(), opt, mesh, halo=4, shard_axis=2
+    )
+    losses = []
+    for i in range(8):
+        params, opt_state, loss = step(
+            params, opt_state, vol, labels, jax.random.PRNGKey(i)
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_train_step_halo_bounds_checked(mesh):
+    import optax
+
+    from mdeical_image_segmentation_tpu.parallel.spatial import (
+        make_spatial_train_step)
+
+    model = get_model(
+        {"name": "UNet3D", "in_channels": 1, "out_channels": 1, "f_maps": 4,
+         "num_levels": 2, "layer_order": "cr"}
+    )
+    vol = jnp.zeros((1, 8, 64, 32, 1))
+    params = model.init(jax.random.PRNGKey(0), vol[:, :, :16], False)["params"]
+    opt = optax.sgd(0.1)
+    step = make_spatial_train_step(
+        model, lambda o, y: jnp.mean(o), opt, mesh, halo=8, shard_axis=2
+    )
+    with pytest.raises(AssertionError, match="halo"):
+        step(params, opt.init(params), vol, vol, jax.random.PRNGKey(0))
