@@ -16,11 +16,15 @@ per-(sample, group) statistics:
 - forward: one fused reduction pass over ``x`` produces per-channel fp32
   sums (no big group reshape — channel sums are combined into group stats on
   a tiny (N, C) array), then one elementwise pass normalizes in fp32
-  registers and stores the result in ``x.dtype``.
-- backward (custom VJP): residuals are the original bf16 ``x`` plus (N, G)
-  statistics — nothing full-size and fp32 is ever saved.  Two fused passes:
-  per-channel reductions of (g, g·x̂), then the standard group-norm input
-  gradient, emitted in the cotangent's dtype.
+  registers and stores both x̂ and the affine output in ``x.dtype``.
+- backward (custom VJP): the residual is the *normalized* x̂ in ``x.dtype``
+  plus (N, G) inverse-stddevs.  Saving x̂ (not ``x``) means the backward
+  never rebuilds it — profiling the first custom-VJP cut (residual = x,
+  fp32 x̂ recomputed in the backward) showed XLA materializing the fp32 x̂
+  for its two consumers and inserting ~3 ms layout copies per decoder
+  GroupNorm between the reduce fusions and the dx pass.  With x̂ saved,
+  both backward passes (per-channel reductions of (g, g·x̂); the group-norm
+  input gradient) read only bf16 tensors.
 
 Numerics match ``nn.GroupNorm`` (biased variance via max(0, E[x²]−E[x]²),
 epsilon inside rsqrt) to float rounding; parity with the torch reference is
@@ -95,26 +99,25 @@ def _gn_fwd(x, scale, bias, num_groups, eps):
     mean_c = _per_channel(mean, cg, x.ndim)
     inv_c = _per_channel(inv, cg, x.ndim)
     xf = x.astype(jnp.float32)
-    y = (xf - mean_c) * inv_c * scale.astype(jnp.float32) + bias.astype(
+    xhat = ((xf - mean_c) * inv_c).astype(x.dtype)
+    y = xhat.astype(jnp.float32) * scale.astype(jnp.float32) + bias.astype(
         jnp.float32
     )
-    return y.astype(x.dtype), (x, scale, mean, inv)
+    return y.astype(x.dtype), (xhat, scale, inv)
 
 
 def _gn_bwd(num_groups, eps, res, g):
-    x, scale, mean, inv = res
-    n, c = x.shape[0], x.shape[-1]
+    xhat_lp, scale, inv = res
+    n, c = xhat_lp.shape[0], xhat_lp.shape[-1]
     cg = c // num_groups
-    axes = _spatial_axes(x)
-    m = float(np.prod([x.shape[a] for a in axes]) * cg)
+    axes = _spatial_axes(xhat_lp)
+    m = float(np.prod([xhat_lp.shape[a] for a in axes]) * cg)
 
-    mean_c = _per_channel(mean, cg, x.ndim)
-    inv_c = _per_channel(inv, cg, x.ndim)
-    xf = x.astype(jnp.float32)
+    inv_c = _per_channel(inv, cg, xhat_lp.ndim)
     gf = g.astype(jnp.float32)
-    xhat = (xf - mean_c) * inv_c
+    xhat = xhat_lp.astype(jnp.float32)
 
-    # one fused pass over (g, x): per-channel sums of g and g·x̂
+    # one fused pass over (g, x̂): per-channel sums of g and g·x̂
     c1 = jnp.sum(gf, axis=axes)  # (N, C)
     c2 = jnp.sum(gf * xhat, axis=axes)  # (N, C)
 
@@ -124,11 +127,11 @@ def _gn_bwd(num_groups, eps, res, g):
     sf = scale.astype(jnp.float32)
     g1 = jnp.sum((c1 * sf).reshape(n, num_groups, cg), axis=-1)  # Σ g·γ
     g2 = jnp.sum((c2 * sf).reshape(n, num_groups, cg), axis=-1)  # Σ g·γ·x̂
-    g1_c = _per_channel(g1 / m, cg, x.ndim)
-    g2_c = _per_channel(g2 / m, cg, x.ndim)
+    g1_c = _per_channel(g1 / m, cg, xhat_lp.ndim)
+    g2_c = _per_channel(g2 / m, cg, xhat_lp.ndim)
 
     dx = inv_c * (gf * sf - g1_c - xhat * g2_c)
-    return dx.astype(x.dtype), dscale, dbias
+    return dx.astype(xhat_lp.dtype), dscale, dbias
 
 
 group_norm.defvjp(_gn_fwd, _gn_bwd)
