@@ -29,7 +29,15 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from jax import lax
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map as _shard_map_new  # jax ≥ 0.8
+
+    def shard_map(f, *, mesh, in_specs, out_specs, check_rep):
+        # the replication check was renamed check_rep → check_vma in 0.8
+        return _shard_map_new(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_vma=check_rep)
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import DATA_AXIS
