@@ -90,6 +90,12 @@ class TrainingArguments:
     plot_eval: bool = False  # reference dumps output.png every eval
     log_dir: Optional[str] = None
     bf16: bool = False
+    # Shard conv out-channels (and optimizer moments) over the mesh's
+    # ``model`` axis (parallel/tensor.py).  Needs a mesh built with
+    # n_model > 1; single-host only (save_model gathers params).  Use when
+    # model+activations exceed one chip's HBM; throughput at reference
+    # widths is better spent on the data axis.
+    tensor_parallel: bool = False
     profile_dir: Optional[str] = None  # jax.profiler trace of steps 10-13
     profile_start_step: int = 10
     profile_num_steps: int = 3
@@ -204,7 +210,16 @@ class Trainer:
             state = create_train_state(
                 self.model, rng, jnp.asarray(sample_images), self._optimizer
             )
-        self.state = mesh_lib.replicate(self.mesh, state)
+        if self.args.tensor_parallel and self.mesh.shape[
+            mesh_lib.MODEL_AXIS
+        ] > 1:
+            # every state leaf (params, adam moments, batch_stats) that has
+            # a shardable trailing channel dim goes over the model axis
+            from ..parallel.tensor import shard_params_tp
+
+            self.state = shard_params_tp(state, self.mesh)
+        else:
+            self.state = mesh_lib.replicate(self.mesh, state)
         self._has_bn = bool(self.state.batch_stats)
 
     def _compile_steps(self):
