@@ -92,8 +92,13 @@ def main():
     _ = float((jnp.ones((64, 64)) @ jnp.ones((64, 64))).sum())
     log("claim_s", round(time.time() - t0, 1))
 
-    time_config("gcr_newgn", "gcr")
-    time_config("cr_nonorm", "cr")
+    if os.environ.get("GN_PALLAS_ONLY"):
+        time_config("gcr_pallas", "gcr")  # dispatches to the Pallas kernels
+        os.environ["TPUSEG_NO_PALLAS_GN"] = "1"
+        time_config("gcr_xla", "gcr")
+    else:
+        time_config("gcr_newgn", "gcr")
+        time_config("cr_nonorm", "cr")
     print("DONE", flush=True)
 
 

@@ -102,3 +102,77 @@ def test_jit_and_remat_compatible():
         f(x), group_norm(x, scale, bias, 4, 1e-5), rtol=1e-4, atol=1e-5
     )
     jax.grad(r)(x)  # remat through the custom VJP must trace
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernels (interpret mode on CPU; jnp path is the oracle)
+# ---------------------------------------------------------------------------
+
+
+def _pallas_case(shape=(2, 4, 8, 16, 12), groups=4, seed=0):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    scale = jnp.asarray(rng.randn(shape[-1]).astype(np.float32))
+    bias = jnp.asarray(rng.randn(shape[-1]).astype(np.float32))
+    return x, scale, bias, groups
+
+
+@pytest.mark.parametrize("shape,groups", [
+    ((2, 4, 8, 16, 12), 4),
+    ((1, 3, 5, 16, 8), 8),    # odd D/H, groups == channels
+    ((2, 2, 6, 4, 32), 1),    # layer-norm-like single group
+])
+def test_pallas_forward_matches_jnp(shape, groups):
+    from mdeical_image_segmentation_tpu.ops.norm import (
+        _gn_fwd, _gn_fwd_pallas)
+
+    x, scale, bias, _ = _pallas_case(shape, groups)
+    y_ref, _ = _gn_fwd(x, scale, bias, groups, 1e-5)
+    y_pl, res = _gn_fwd_pallas(x, scale, bias, groups, 1e-5, interpret=True)
+    np.testing.assert_allclose(y_pl, y_ref, rtol=2e-5, atol=2e-5)
+    assert len(res) == 4
+
+
+def test_pallas_backward_matches_jnp():
+    from mdeical_image_segmentation_tpu.ops.norm import (
+        _gn_bwd, _gn_bwd_pallas, _gn_fwd, _gn_fwd_pallas)
+
+    x, scale, bias, groups = _pallas_case()
+    g = jnp.asarray(
+        np.random.RandomState(1).randn(*x.shape).astype(np.float32)
+    )
+    _, res_ref = _gn_fwd(x, scale, bias, groups, 1e-5)
+    dx_ref, ds_ref, db_ref = _gn_bwd(groups, 1e-5, res_ref, g)
+
+    _, res_pl = _gn_fwd_pallas(x, scale, bias, groups, 1e-5, interpret=True)
+    dx_pl, ds_pl, db_pl = _gn_bwd_pallas(groups, 1e-5, res_pl, g,
+                                         interpret=True)
+    np.testing.assert_allclose(dx_pl, dx_ref, rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(ds_pl, ds_ref, rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(db_pl, db_ref, rtol=3e-4, atol=3e-4)
+
+
+def test_pallas_bf16_dtypes():
+    from mdeical_image_segmentation_tpu.ops.norm import (
+        _gn_bwd_pallas, _gn_fwd_pallas)
+
+    x, scale, bias, groups = _pallas_case()
+    x = x.astype(jnp.bfloat16)
+    y, res = _gn_fwd_pallas(x, scale, bias, groups, 1e-5, interpret=True)
+    assert y.dtype == jnp.bfloat16
+    dx, ds, db = _gn_bwd_pallas(groups, 1e-5, res,
+                                jnp.ones_like(y), interpret=True)
+    assert dx.dtype == jnp.bfloat16
+    assert ds.dtype == scale.dtype
+
+
+def test_pick_bh_divides_and_fits():
+    from mdeical_image_segmentation_tpu.ops.norm import _pick_bh
+
+    bh = _pick_bh(128, 128 * 96, 4)
+    assert bh is not None and 128 % bh == 0
+    assert -(-bh // 8) * 8 * 128 * 96 * 4 <= 3 * 2**19
+    assert _pick_bh(7, 16 * 8, 4) == 7  # small tensors take one block
+    # C=1 full-res case that OOMed the per-C-lane layout now fits
+    assert _pick_bh(128, 128 * 1, 4) is not None
+    assert _pick_bh(1, 1 << 24, 4) is None  # absurd W*C falls back
