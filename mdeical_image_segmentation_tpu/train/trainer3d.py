@@ -57,7 +57,10 @@ def create_trainer(config: Dict[str, Any]) -> "UNetTrainer":
     """Assemble model/loss/metric/loaders/optimizer/scheduler/trainer from a
     reference-shaped config (reference trainer.py:19-55)."""
     model = get_model(config["model"])
-    mesh = mesh_lib.make_mesh()
+    # optional `parallel:` config section: model_axis (mesh width for
+    # tensor parallelism) and tensor_parallel (shard the state over it)
+    par_cfg = config.get("parallel", {}) or {}
+    mesh = mesh_lib.make_mesh(n_model=int(par_cfg.get("model_axis", 1)))
     n_data = mesh.shape[mesh_lib.DATA_AXIS]
     if n_data > 1:
         logger.info(f"Using {n_data} devices for training (data-parallel mesh)")
@@ -91,6 +94,7 @@ def create_trainer(config: Dict[str, Any]) -> "UNetTrainer":
         pre_trained=pre_trained,
         mesh=mesh,
         seed=config.get("seed", 0),
+        tensor_parallel=bool(par_cfg.get("tensor_parallel", False)),
         **trainer_config,
     )
 
@@ -120,6 +124,7 @@ class UNetTrainer:
         mesh=None,
         base_lr: float = 1e-3,
         seed: int = 0,
+        tensor_parallel: bool = False,
         **kwargs,
     ):
         self.model = model
@@ -136,6 +141,9 @@ class UNetTrainer:
         self.validate_iters = validate_iters
         self.eval_score_higher_is_better = eval_score_higher_is_better
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.tensor_parallel = bool(
+            tensor_parallel and self.mesh.shape[mesh_lib.MODEL_AXIS] > 1
+        )
         self.current_lr = base_lr
         self.seed = seed
 
@@ -195,6 +203,16 @@ class UNetTrainer:
 
     # -- state management ----------------------------------------------------
 
+    def _place_state(self, state):
+        """Lay out the train state on the mesh: replicated (default) or with
+        conv out-channels + optimizer moments sharded over the model axis
+        (``parallel.tensor_parallel: true`` in the YAML config)."""
+        if self.tensor_parallel:
+            from ..parallel.tensor import shard_params_tp
+
+            return shard_params_tp(state, self.mesh)
+        return mesh_lib.replicate(self.mesh, state)
+
     def _init_state(self, sample_input: np.ndarray):
         rng = jax.random.PRNGKey(self.seed)
         x = jnp.asarray(sample_input[:1])
@@ -213,7 +231,7 @@ class UNetTrainer:
             "batch_stats": batch_stats,
             "opt_state": opt_state,
         }
-        self._state = mesh_lib.replicate(self.mesh, state)
+        self._state = self._place_state(state)
 
         if self._resume_path is not None:
             logger.info(f"Loading checkpoint '{self._resume_path}'...")
@@ -227,13 +245,12 @@ class UNetTrainer:
                     "optimizer_state_dict": opt_state,
                 },
             )
-            self._state = mesh_lib.replicate(
-                self.mesh,
+            self._state = self._place_state(
                 {
                     "params": saved["model_state_dict"]["params"],
                     "batch_stats": saved["model_state_dict"]["batch_stats"],
                     "opt_state": saved["optimizer_state_dict"],
-                },
+                }
             )
             self.best_eval_score = float(saved["best_eval_score"])
             self.num_iterations = int(saved["num_iterations"])
@@ -256,8 +273,7 @@ class UNetTrainer:
                     "optimizer_state_dict": opt_state,
                 },
             )
-            self._state = mesh_lib.replicate(
-                self.mesh,
+            self._state = self._place_state(
                 {
                     "params": saved["model_state_dict"]["params"],
                     "batch_stats": saved["model_state_dict"]["batch_stats"],

@@ -136,3 +136,23 @@ def test_preemption_checkpoints_and_resumes(volumes, tmp_path):
     t2 = create_trainer(cfg2)
     t2.fit()
     assert t2.num_iterations >= iters
+
+
+def test_tensor_parallel_config(volumes, tmp_path_factory):
+    """`parallel: {model_axis: 4, tensor_parallel: true}` builds a (2, 4)
+    mesh, physically shards the conv kernels over the model axis, and the
+    fit loop runs to completion."""
+    import jax
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt_tp"))
+    cfg = _config(volumes, ckpt, max_num_epochs=1, max_num_iterations=4)
+    cfg["parallel"] = {"model_axis": 4, "tensor_parallel": True}
+    trainer = create_trainer(cfg)
+    assert trainer.mesh.shape == {"data": 2, "model": 4}
+    trainer.fit()
+    wide = [
+        v for v in jax.tree_util.tree_leaves(trainer._state["params"])
+        if v.ndim == 5 and v.shape[-1] >= 8
+    ][0]
+    assert wide.addressable_shards[0].data.shape[-1] == wide.shape[-1] // 4
+    assert trainer.num_iterations > 1
