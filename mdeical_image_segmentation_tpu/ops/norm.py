@@ -95,8 +95,11 @@ def group_norm(
 
 
 def _gn_fwd(x, scale, bias, num_groups, eps):
-    if _pallas_gn_ok(x):
+    mode = _gn_mode(x)
+    if mode == "full":
         return _gn_fwd_pallas(x, scale, bias, num_groups, eps)
+    if mode == "hybrid":
+        return _gn_fwd_hybrid(x, scale, bias, num_groups, eps)
     cg = x.shape[-1] // num_groups
     mean, inv, _ = _group_stats(x, num_groups, eps)
     mean_c = _per_channel(mean, cg, x.ndim)
@@ -110,8 +113,10 @@ def _gn_fwd(x, scale, bias, num_groups, eps):
 
 
 def _gn_bwd(num_groups, eps, res, g):
-    if len(res) == 4:  # pallas-path residual: (x, mean_c, inv_c, scale)
-        return _gn_bwd_pallas(num_groups, eps, res, g)
+    if len(res) == 4:  # pallas/hybrid residual: (x, mean_c, inv_c, scale)
+        if _gn_mode(res[0]) == "full":
+            return _gn_bwd_pallas(num_groups, eps, res, g)
+        return _gn_bwd_hybrid(num_groups, eps, res, g)
     xhat_lp, scale, inv = res
     n, c = xhat_lp.shape[0], xhat_lp.shape[-1]
     cg = c // num_groups
@@ -201,13 +206,29 @@ def _pick_bh(h: int, row: int, itemsize: int,
     return None
 
 
-def _pallas_gn_ok(x: jax.Array) -> bool:
+def _gn_mode(x: jax.Array) -> str:
+    """'full' (all four passes in pallas), 'hybrid' (pallas reductions, XLA
+    elementwise), or 'xla' (pure jnp custom-VJP path).
+
+    Measured on v5e in one process (scripts/tpu_gn_session.py GN_MODES=1,
+    UNet3D 'gcr' f_maps=32 b2 64×128×128 train step): hybrid 238.9 ms/step
+    / 54.8 GB HBM estimate, full 245.5 ms / 58.3 GB, xla 285.4 ms /
+    176.7 GB.  Hybrid wins because the normalize/dx elementwise passes stay
+    ordinary XLA fusions in the conv kernels' preferred layouts (free to
+    fuse with neighbors), while the pallas streaming kernels still fuse the
+    two reduction passes; pinning ALL four passes to pallas ('full') costs
+    ~7 ms of extra relayout around the conv boundaries.  Override with
+    TPUSEG_GN_MODE.  TPUSEG_NO_PALLAS_GN=1 is a hard kill-switch (same as
+    mode 'xla')."""
     if os.environ.get("TPUSEG_NO_PALLAS_GN"):
-        return False
+        return "xla"
     if jax.default_backend() != "tpu" or x.ndim != 5:
-        return False
+        return "xla"
     _, d, h, w, c = x.shape
-    return _pick_bh(h, w * c, x.dtype.itemsize) is not None
+    if _pick_bh(h, w * c, x.dtype.itemsize) is None:
+        return "xla"
+    mode = os.environ.get("TPUSEG_GN_MODE", "hybrid")
+    return mode if mode in ("full", "hybrid") else "hybrid"
 
 
 # Row refs ((N, W·C) stats and coefficients) are passed as FULL arrays —
@@ -376,6 +397,72 @@ def _gn_bwd_pallas(num_groups, eps, res, g, interpret=False):
         x4, g4, _tile_row(a, w), _tile_row(cc, w), _tile_row(dd, w)
     )
     return dx4.reshape(x.shape), dscale, dbias
+
+
+# ---------------------------------------------------------------------------
+# hybrid mode: pallas reductions + XLA elementwise (see _gn_mode)
+# ---------------------------------------------------------------------------
+
+
+def _bcast(vec_nc: jax.Array, ndim: int) -> jax.Array:
+    """(N, C) fp32 → (N, 1, …, 1, C) for XLA-side elementwise broadcast."""
+    n, c = vec_nc.shape
+    return vec_nc.reshape((n,) + (1,) * (ndim - 2) + (c,))
+
+
+def _gn_fwd_hybrid(x, scale, bias, num_groups, eps, interpret=False):
+    n, d, h, w, c = x.shape
+    cg = c // num_groups
+    m = float(d * h * w * cg)
+    x4 = x.reshape(n, d, h, w * c)
+
+    s1r, s2r = _gn_grid(x4, 0, _stats_kernel, 2, interpret=interpret)(x4)
+    s1, s2 = _fold_row(s1r, w, c), _fold_row(s2r, w, c)
+    gs1 = jnp.sum(s1.reshape(n, num_groups, cg), axis=-1)
+    gs2 = jnp.sum(s2.reshape(n, num_groups, cg), axis=-1)
+    mean = gs1 / m
+    var = jnp.maximum(0.0, gs2 / m - jnp.square(mean))
+    inv = lax.rsqrt(var + eps)
+    mean_c = _expand_groups(mean, cg)
+    inv_c = _expand_groups(inv, cg)
+
+    a = inv_c * scale.astype(jnp.float32)[None]
+    b = bias.astype(jnp.float32)[None] - mean_c * a
+    y = x.astype(jnp.float32) * _bcast(a, x.ndim) + _bcast(b, x.ndim)
+    return y.astype(x.dtype), (x, mean_c, inv_c, scale)
+
+
+def _gn_bwd_hybrid(num_groups, eps, res, g, interpret=False):
+    x, mean_c, inv_c, scale = res
+    n, d, h, w, c = x.shape
+    cg = c // num_groups
+    m = float(d * h * w * cg)
+    x4 = x.reshape(n, d, h, w * c)
+    g4 = g.reshape(n, d, h, w * c)
+
+    c1r, c2r = _gn_grid(x4, 2, _bwd_reduce_kernel, 2, interpret=interpret)(
+        x4, g4, _tile_row(mean_c, w), _tile_row(inv_c, w)
+    )
+    c1, c2 = _fold_row(c1r, w, c), _fold_row(c2r, w, c)
+    dbias = jnp.sum(c1, axis=0).astype(scale.dtype)
+    dscale = jnp.sum(c2, axis=0).astype(scale.dtype)
+
+    sf = scale.astype(jnp.float32)[None]
+    g1 = _expand_groups(
+        jnp.sum((c1 * sf).reshape(n, num_groups, cg), axis=-1) / m, cg
+    )
+    g2 = _expand_groups(
+        jnp.sum((c2 * sf).reshape(n, num_groups, cg), axis=-1) / m, cg
+    )
+    a = inv_c * sf
+    cc = -(inv_c * inv_c) * g2
+    dd = -inv_c * g1 - mean_c * cc
+    dx = (
+        g.astype(jnp.float32) * _bcast(a, x.ndim)
+        + x.astype(jnp.float32) * _bcast(cc, x.ndim)
+        + _bcast(dd, x.ndim)
+    )
+    return dx.astype(x.dtype), dscale, dbias
 
 
 class GroupNorm(nn.Module):

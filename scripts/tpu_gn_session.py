@@ -64,8 +64,8 @@ def build(layer_order, f_maps=32, batch=2, patch=(64, 128, 128)):
     return jstep, variables["params"], opt_state, x, y, jax.random.PRNGKey(1)
 
 
-def time_config(name, layer_order):
-    jstep, params, opt_state, x, y, key = build(layer_order)
+def time_config(name, layer_order, **bkw):
+    jstep, params, opt_state, x, y, key = build(layer_order, **bkw)
     t0 = time.time()
     compiled = jstep.lower(params, opt_state, x, y, key).compile()
     log(f"{name}_compile_s", round(time.time() - t0, 1))
@@ -92,7 +92,23 @@ def main():
     _ = float((jnp.ones((64, 64)) @ jnp.ones((64, 64))).sum())
     log("claim_s", round(time.time() - t0, 1))
 
-    if os.environ.get("GN_PALLAS_ONLY"):
+    if os.environ.get("CONV_SLAB"):
+        # slab-decomposed 3D convs (ops/conv3d.py) + hybrid GN, vs the
+        # native-conv 238.9 ms baseline from the GN_MODES run
+        time_config("gcr_slab", "gcr")
+        time_config("cr_slab_nonorm", "cr")
+        time_config("gcr_slab_w64b1", "gcr", f_maps=64, batch=1)
+        os.environ["TPUSEG_CONV3D"] = "native"
+        time_config("gcr_native_w64b1", "gcr", f_maps=64, batch=1)
+    elif os.environ.get("GN_MODES"):
+        # three-way mode shoot-out: full pallas vs hybrid vs pure XLA
+        os.environ["TPUSEG_GN_MODE"] = "hybrid"
+        time_config("gcr_hybrid", "gcr")
+        os.environ["TPUSEG_GN_MODE"] = "full"
+        time_config("gcr_full", "gcr")
+        os.environ["TPUSEG_NO_PALLAS_GN"] = "1"
+        time_config("gcr_xla", "gcr")
+    elif os.environ.get("GN_PALLAS_ONLY"):
         time_config("gcr_pallas", "gcr")  # dispatches to the Pallas kernels
         os.environ["TPUSEG_NO_PALLAS_GN"] = "1"
         time_config("gcr_xla", "gcr")

@@ -176,3 +176,24 @@ def test_pick_bh_divides_and_fits():
     # C=1 full-res case that OOMed the per-C-lane layout now fits
     assert _pick_bh(128, 128 * 1, 4) is not None
     assert _pick_bh(1, 1 << 24, 4) is None  # absurd W*C falls back
+
+
+def test_hybrid_matches_jnp():
+    """Hybrid mode (pallas reductions + XLA elementwise): fwd and bwd match
+    the jnp oracle."""
+    from mdeical_image_segmentation_tpu.ops.norm import (
+        _gn_bwd, _gn_bwd_hybrid, _gn_fwd, _gn_fwd_hybrid)
+
+    x, scale, bias, groups = _pallas_case()
+    g = jnp.asarray(
+        np.random.RandomState(2).randn(*x.shape).astype(np.float32)
+    )
+    y_ref, res_ref = _gn_fwd(x, scale, bias, groups, 1e-5)
+    dx_ref, ds_ref, db_ref = _gn_bwd(groups, 1e-5, res_ref, g)
+
+    y_h, res_h = _gn_fwd_hybrid(x, scale, bias, groups, 1e-5, interpret=True)
+    np.testing.assert_allclose(y_h, y_ref, rtol=2e-5, atol=2e-5)
+    dx_h, ds_h, db_h = _gn_bwd_hybrid(groups, 1e-5, res_h, g, interpret=True)
+    np.testing.assert_allclose(dx_h, dx_ref, rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(ds_h, ds_ref, rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(db_h, db_ref, rtol=3e-4, atol=3e-4)
