@@ -29,6 +29,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops import conv3d
 from ..ops import initializers as tinit
 from ..ops.image import center_crop, upsample_bilinear2d
 
@@ -62,6 +63,20 @@ class TorchConv(nn.Module):
         ks = tuple(self.kernel_size)
         strides = tuple(self.strides) if self.strides else (1,) * len(ks)
         fan_in = math.prod(ks) * x.shape[-1]
+        if conv3d.use_slab(ks, strides):
+            # TPU: lower the depth axis by hand onto XLA's 2D conv path
+            # (~2x on v5e — ops/conv3d.py). name="Conv_0" keeps the param
+            # tree identical to the nn.Conv branch below.
+            return conv3d.SlabConv3D(
+                features=self.features,
+                kernel_size=ks,
+                padding=self.padding,
+                use_bias=self.use_bias,
+                kernel_init=_resolve_kernel_init(self.kernel_init),
+                bias_init=tinit.torch_conv_default_bias(fan_in),
+                dtype=self.dtype,
+                name="Conv_0",
+            )(x)
         return nn.Conv(
             features=self.features,
             kernel_size=ks,

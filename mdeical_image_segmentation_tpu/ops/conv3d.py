@@ -1,0 +1,140 @@
+"""Slab-decomposed 3D convolution: ride XLA's 2D conv path on TPU.
+
+XLA's native 3D convolutions run far below the MXU efficiency its 2D convs
+reach on TPU: the UNet3D microbench (scripts/tpu_conv3d_session.py, v5e)
+has the dominant full-resolution 32ch 3×3×3 conv at 13.2 ms fwd / 30.4 ms
+fwd+bwd natively vs 7.3 / 15.5 ms when the depth axis is lowered by hand —
+a ~2× speedup with identical math (bf16 rel-err 4e-3, pure summation-order
+noise).
+
+The lowering: a stride-1 (kd, kh, kw) conv over (N, D, H, W, Ci) equals
+
+    y[:, d] = Σ_k  conv2d(x_pad[:, d + k], W[k])          k = 0..kd-1
+
+with the depth axis folded into the 2D conv's batch — each term is one
+(N·D, H, W, Ci) ⊛ (kh, kw, Ci, Co) convolution, which XLA tiles onto the
+MXU the same way it tiles the (well-optimized) 2D UNet convs.  Autodiff
+through the decomposition yields transposed 2D convs, so the backward gets
+the same treatment for free.
+
+Used by :class:`models.layers2d.TorchConv` for rank-3 kernels (parity
+target: torch ``nn.Conv3d`` inside the reference's SingleConv,
+reference model/unet3d/buildingblocks.py:62-66).  Selection:
+``TPUSEG_CONV3D=slab|native|auto`` (auto → slab on TPU, native elsewhere);
+strided 3D convs always use the native path.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from flax.linen import dtypes as flax_dtypes
+from jax import lax
+
+_DN2 = lax.conv_dimension_numbers(
+    (1, 1, 1, 1), (1, 1, 1, 1), ("NHWC", "HWIO", "NHWC")
+)
+
+
+def use_slab(kernel_size: Sequence[int], strides: Sequence[int]) -> bool:
+    """Whether a 3D conv of this geometry should take the slab path."""
+    if len(kernel_size) != 3 or any(s != 1 for s in strides):
+        return False
+    mode = os.environ.get("TPUSEG_CONV3D", "auto")
+    if mode == "native":
+        return False
+    if mode == "slab":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _pad_pairs(padding: Any, kernel_size: Tuple[int, ...]):
+    """Normalize flax-style padding to one (lo, hi) pair per spatial dim."""
+    if isinstance(padding, str):
+        p = padding.upper()
+        if p == "VALID":
+            return [(0, 0)] * len(kernel_size)
+        if p == "SAME":
+            return [((k - 1) // 2, k // 2) for k in kernel_size]
+        raise ValueError(f"unsupported padding {padding!r} for slab conv3d")
+    if isinstance(padding, int):
+        return [(padding, padding)] * len(kernel_size)
+    out = []
+    for p in padding:
+        out.append((p, p) if isinstance(p, int) else tuple(p))
+    return out
+
+
+def slab_conv3d(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+    *,
+    padding: Any = "SAME",
+    precision: Any = None,
+) -> jax.Array:
+    """Stride-1 NDHWC ⊛ DHWIO convolution via kd shifted 2D convolutions.
+
+    ``x``: (N, D, H, W, Ci); ``kernel``: (kd, kh, kw, Ci, Co).  Exact (up to
+    summation order) match of ``lax.conv_general_dilated`` with the same
+    padding; asserts stride-1 by construction.
+    """
+    n, d, h, w, ci = x.shape
+    kd = kernel.shape[0]
+    (pd_lo, pd_hi), ph, pw = _pad_pairs(padding, tuple(kernel.shape[:3]))
+    d_out = d + pd_lo + pd_hi - kd + 1
+    if pd_lo or pd_hi:
+        x = jnp.pad(x, ((0, 0), (pd_lo, pd_hi), (0, 0), (0, 0), (0, 0)))
+    y = None
+    for k in range(kd):
+        xs = lax.slice_in_dim(x, k, k + d_out, axis=1)
+        yk = lax.conv_general_dilated(
+            xs.reshape(n * d_out, h, w, ci),
+            kernel[k],
+            window_strides=(1, 1),
+            padding=(ph, pw),
+            dimension_numbers=_DN2,
+            precision=precision,
+        )
+        y = yk if y is None else y + yk
+    y = y.reshape(n, d_out, *y.shape[1:])
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+class SlabConv3D(nn.Module):
+    """Param-tree-compatible stand-in for ``nn.Conv`` with a rank-3 kernel.
+
+    Creates the same ``kernel``/``bias`` params (same shapes, names, inits)
+    as the ``nn.Conv`` it replaces, so checkpoints and torch-parity imports
+    are unaffected; only the lowering differs.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int, int]
+    padding: Any = "SAME"
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ci = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, tuple(self.kernel_size) + (ci, self.features)
+        )
+        bias = (
+            self.param("bias", self.bias_init, (self.features,))
+            if self.use_bias
+            else None
+        )
+        x, kernel, bias = flax_dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype
+        )
+        return slab_conv3d(x, kernel, bias, padding=self.padding)

@@ -1,0 +1,149 @@
+"""Slab-decomposed 3D conv (ops/conv3d.py): numerics, autodiff, and
+param-tree compatibility with the native nn.Conv path."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mdeical_image_segmentation_tpu.ops import conv3d
+
+
+def _rand(shape, seed=0):
+    return jnp.asarray(np.random.RandomState(seed).randn(*shape), jnp.float32)
+
+
+DN3 = lax.conv_dimension_numbers(
+    (1, 1, 1, 1, 1), (1, 1, 1, 1, 1), ("NDHWC", "DHWIO", "NDHWC")
+)
+
+
+def _native(x, w, padding):
+    pads = conv3d._pad_pairs(padding, tuple(w.shape[:3]))
+    return lax.conv_general_dilated(
+        x, w, (1, 1, 1), pads, dimension_numbers=DN3
+    )
+
+
+@pytest.mark.parametrize(
+    "kshape,padding",
+    [
+        ((3, 3, 3, 4, 8), "SAME"),
+        ((3, 3, 3, 4, 8), [(1, 1), (1, 1), (1, 1)]),
+        ((3, 3, 3, 4, 8), "VALID"),
+        ((1, 1, 1, 4, 8), "SAME"),
+        ((3, 1, 1, 4, 8), [(1, 1), (0, 0), (0, 0)]),
+    ],
+)
+def test_matches_native_conv(kshape, padding):
+    x = _rand((2, 5, 6, 7, kshape[3]))
+    w = _rand(kshape, seed=1) * 0.1
+    got = conv3d.slab_conv3d(x, w, padding=padding)
+    want = _native(x, w, padding)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_gradients_match_native():
+    x = _rand((1, 4, 5, 5, 3))
+    w = _rand((3, 3, 3, 3, 6), seed=2) * 0.1
+
+    def f_slab(x, w):
+        return jnp.sum(jnp.square(conv3d.slab_conv3d(x, w, padding="SAME")))
+
+    def f_nat(x, w):
+        return jnp.sum(jnp.square(_native(x, w, "SAME")))
+
+    gx1, gw1 = jax.grad(f_slab, argnums=(0, 1))(x, w)
+    gx2, gw2 = jax.grad(f_nat, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(gx1, gx2, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(gw1, gw2, rtol=1e-4, atol=1e-4)
+
+
+def test_bias_applied():
+    x = _rand((1, 3, 4, 4, 2))
+    w = _rand((3, 3, 3, 2, 5), seed=3) * 0.1
+    b = _rand((5,), seed=4)
+    got = conv3d.slab_conv3d(x, w, b, padding="SAME")
+    np.testing.assert_allclose(
+        got, _native(x, w, "SAME") + b, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_torchconv_slab_param_tree_and_output():
+    """TorchConv's slab branch creates the identical Conv_0 param tree and
+    the same outputs as the native branch."""
+    from mdeical_image_segmentation_tpu.models.layers2d import TorchConv
+
+    x = _rand((2, 4, 5, 6, 3))
+    mod = TorchConv(8, (3, 3, 3), padding=[(1, 1), (1, 1), (1, 1)])
+
+    old = os.environ.pop("TPUSEG_CONV3D", None)
+    try:
+        os.environ["TPUSEG_CONV3D"] = "native"
+        v_nat = mod.init(jax.random.PRNGKey(0), x)
+        y_nat = mod.apply(v_nat, x)
+        os.environ["TPUSEG_CONV3D"] = "slab"
+        v_slab = mod.init(jax.random.PRNGKey(0), x)
+        y_slab = mod.apply(v_slab, x)
+    finally:
+        if old is None:
+            os.environ.pop("TPUSEG_CONV3D", None)
+        else:
+            os.environ["TPUSEG_CONV3D"] = old
+
+    flat_nat = jax.tree_util.tree_map(np.shape, v_nat)
+    flat_slab = jax.tree_util.tree_map(np.shape, v_slab)
+    assert flat_nat == flat_slab  # same names, same shapes
+    # identical init streams => identical params => near-identical outputs
+    np.testing.assert_allclose(y_slab, y_nat, rtol=1e-5, atol=1e-5)
+
+
+def test_unet3d_pixel_output_unchanged_under_slab():
+    """Whole-model check: UNet3D forward is unchanged (to fp32 tolerance)
+    when the slab lowering is forced."""
+    from mdeical_image_segmentation_tpu.models import get_model
+
+    cfg = {"name": "UNet3D", "in_channels": 1, "out_channels": 2,
+           "f_maps": 16, "num_levels": 2, "layer_order": "gcr"}
+    x = _rand((1, 8, 16, 16, 1))
+
+    old = os.environ.pop("TPUSEG_CONV3D", None)
+    try:
+        os.environ["TPUSEG_CONV3D"] = "native"
+        model = get_model(dict(cfg))
+        v = model.init(jax.random.PRNGKey(0), x, False)
+        y_nat = model.apply(v, x, False)
+        os.environ["TPUSEG_CONV3D"] = "slab"
+        y_slab = model.apply(v, x, False)
+    finally:
+        if old is None:
+            os.environ.pop("TPUSEG_CONV3D", None)
+        else:
+            os.environ["TPUSEG_CONV3D"] = old
+
+    np.testing.assert_allclose(y_slab, y_nat, rtol=2e-4, atol=2e-4)
+
+
+def test_strided_and_2d_convs_stay_native():
+    assert not conv3d.use_slab((3, 3), (1, 1))
+    assert not conv3d.use_slab((3, 3, 3), (2, 2, 2))
+
+
+def test_slab_conv_under_data_parallel_jit():
+    """The (N, D, …) → (N·D, …) reshape merges a data-sharded batch dim;
+    GSPMD must compile and match the unsharded result on the 8-device mesh."""
+    from mdeical_image_segmentation_tpu.parallel import mesh as mesh_lib
+
+    x = _rand((8, 4, 8, 8, 2))
+    w = _rand((3, 3, 3, 2, 4), seed=5) * 0.1
+    mesh = mesh_lib.make_mesh()
+
+    want = conv3d.slab_conv3d(x, w, padding="SAME")
+    xs = jax.device_put(x, mesh_lib.batch_sharding(mesh, x.ndim))
+    got = jax.jit(lambda a: conv3d.slab_conv3d(a, w, padding="SAME"))(xs)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
