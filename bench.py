@@ -184,6 +184,7 @@ def main():
 
     fast = extra(bench_unet2d, base_features=16, batch=128, steps=20)
     vol = extra(bench_unet3d)  # BASELINE metric #2 first
+    vol64 = extra(bench_unet3d, f_maps=64, batch=1, steps=15)  # ref width
     ref_config = extra(bench_unet3plus)
 
     value = round(headline["slices_per_sec"], 1)
@@ -201,6 +202,7 @@ def main():
                     "unet2d_base16": ({k: round(v, 1) if isinstance(v, float) else v for k, v in fast.items()}),
                     "unet3plus_512px_reference_config_remat": ref_config,
                     "unet3d_fmaps32_64x128x128": vol,
+                    "unet3d_fmaps64_ref_width_64x128x128": vol64,
                 },
             }
         )

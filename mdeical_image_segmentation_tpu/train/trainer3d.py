@@ -58,7 +58,9 @@ def create_trainer(config: Dict[str, Any]) -> "UNetTrainer":
     reference-shaped config (reference trainer.py:19-55)."""
     model = get_model(config["model"])
     # optional `parallel:` config section: model_axis (mesh width for
-    # tensor parallelism) and tensor_parallel (shard the state over it)
+    # tensor parallelism), tensor_parallel (shard the state over it), and
+    # spatial_halo/spatial_shard_axis (train each batch as ONE spatially-
+    # sharded volume with ppermute halo exchange — parallel/spatial.py)
     par_cfg = config.get("parallel", {}) or {}
     mesh = mesh_lib.make_mesh(n_model=int(par_cfg.get("model_axis", 1)))
     n_data = mesh.shape[mesh_lib.DATA_AXIS]
@@ -67,7 +69,10 @@ def create_trainer(config: Dict[str, Any]) -> "UNetTrainer":
 
     loss_criterion = get_loss_criterion(config)
     eval_criterion = get_evaluation_metric(config)
-    loaders = get_train_loaders(config, n_devices=n_data)
+    # spatial mode: devices split each volume, not the batch — don't scale
+    # the loader batch by the mesh width
+    spatial = bool(par_cfg.get("spatial_halo"))
+    loaders = get_train_loaders(config, n_devices=1 if spatial else n_data)
 
     optimizer_config = config["optimizer"]
     optimizer = create_optimizer(optimizer_config)
@@ -95,6 +100,8 @@ def create_trainer(config: Dict[str, Any]) -> "UNetTrainer":
         mesh=mesh,
         seed=config.get("seed", 0),
         tensor_parallel=bool(par_cfg.get("tensor_parallel", False)),
+        spatial_halo=par_cfg.get("spatial_halo"),
+        spatial_shard_axis=int(par_cfg.get("spatial_shard_axis", 2)),
         **trainer_config,
     )
 
@@ -125,6 +132,8 @@ class UNetTrainer:
         base_lr: float = 1e-3,
         seed: int = 0,
         tensor_parallel: bool = False,
+        spatial_halo: Optional[int] = None,
+        spatial_shard_axis: int = 2,
         **kwargs,
     ):
         self.model = model
@@ -143,6 +152,16 @@ class UNetTrainer:
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
         self.tensor_parallel = bool(
             tensor_parallel and self.mesh.shape[mesh_lib.MODEL_AXIS] > 1
+        )
+        # spatial training (``parallel.spatial_halo``): each batch is ONE
+        # spatially-sharded volume over the data axis, conv halos exchanged
+        # via ppermute (parallel/spatial.py) — for volumes too large per
+        # device.  GroupNorm statistics are per-shard (the same per-patch
+        # semantics the reference's SliceBuilder training already has).
+        self.spatial_halo = int(spatial_halo) if spatial_halo else None
+        self.spatial_shard_axis = int(spatial_shard_axis)
+        assert not (self.spatial_halo and self.tensor_parallel), (
+            "spatial_halo and tensor_parallel are mutually exclusive"
         )
         self.current_lr = base_lr
         self.seed = seed
@@ -355,6 +374,20 @@ class UNetTrainer:
                                    static_argnames=())
         self._eval_step = jax.jit(eval_step)
 
+        self._spatial_step = None
+        if self.spatial_halo:
+            from ..parallel.spatial import make_spatial_train_step
+
+            assert self.model.is3d, "spatial training is 3D-only"
+            assert not has_bn, (
+                "spatial training does not support BatchNorm orders "
+                "(global batch statistics across shards); use 'gcr'/'cr'"
+            )
+            self._spatial_step = make_spatial_train_step(
+                self.model, loss_criterion, optimizer, self.mesh,
+                halo=self.spatial_halo, shard_axis=self.spatial_shard_axis,
+            )
+
     # -- loop ---------------------------------------------------------------
 
     def fit(self):
@@ -385,10 +418,31 @@ class UNetTrainer:
                 self._init_state(input)
 
             step_rng = jax.random.fold_in(rng, self.num_iterations)
-            self._state, loss, output = self._train_step(
-                self._state, input, target, weight, step_rng,
-                jnp.asarray(self.current_lr, jnp.float32),
-            )
+            if self._spatial_step is not None:
+                assert weight is None, (
+                    "per-voxel weights are unsupported in spatial mode"
+                )
+                opt_state = self._state["opt_state"]
+                # host-side LR injection: hyperparams ride inside opt_state
+                # through the shard_map step (same plateau-on-eval semantics)
+                if hasattr(opt_state, "hyperparams"):
+                    opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                        self.current_lr, jnp.float32
+                    )
+                params, opt_state, loss = self._spatial_step(
+                    self._state["params"], opt_state, input, target, step_rng
+                )
+                self._state = {
+                    "params": params,
+                    "batch_stats": self._state["batch_stats"],
+                    "opt_state": opt_state,
+                }
+                output = None  # spatial step returns loss only
+            else:
+                self._state, loss, output = self._train_step(
+                    self._state, input, target, weight, step_rng,
+                    jnp.asarray(self.current_lr, jnp.float32),
+                )
             train_losses.update(float(jax.device_get(loss)), self._batch_size(input))
 
             if self.num_iterations % self.validate_after_iters == 0:
@@ -402,7 +456,7 @@ class UNetTrainer:
                 self._save_checkpoint(is_best)
 
             if self.num_iterations % self.log_after_iters == 0:
-                if not self.skip_train_validation:
+                if not self.skip_train_validation and output is not None:
                     final_activation = self.model.final_activation()
                     act_output = (
                         final_activation(output)
@@ -418,7 +472,8 @@ class UNetTrainer:
                     f"Evaluation score: {train_eval_scores.avg}"
                 )
                 self._log_stats("train", train_losses.avg, train_eval_scores.avg)
-                self._log_images(input, target, output, "train_")
+                if output is not None:
+                    self._log_images(input, target, output, "train_")
 
             if self._preempted:
                 logger.info("Preemption requested: checkpointing and stopping")
@@ -475,12 +530,32 @@ class UNetTrainer:
     # -- helpers ------------------------------------------------------------
 
     def _split_training_batch(self, t):
-        """Batch tuple → device-sharded (input, target, weight|None)."""
+        """Batch tuple → device-sharded (input, target, weight|None).
+
+        Default layout shards the batch axis over the data mesh axis;
+        spatial mode shards ``spatial_shard_axis`` instead (each device
+        holds a slab of every volume in the batch)."""
         if len(t) == 2:
             input, target = t
             weight = None
         else:
             input, target, weight = t
+        if self.spatial_halo:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def put(v):
+                v = np.asarray(v)
+                spec = [None] * v.ndim
+                spec[self.spatial_shard_axis] = mesh_lib.DATA_AXIS
+                return jax.device_put(
+                    v, NamedSharding(self.mesh, P(*spec))
+                )
+
+            return (
+                put(input),
+                put(target),
+                put(weight) if weight is not None else None,
+            )
         sharded = mesh_lib.shard_batch(
             self.mesh,
             {"input": np.asarray(input), "target": np.asarray(target),

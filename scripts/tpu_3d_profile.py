@@ -102,7 +102,12 @@ def main():
     log("ms_per_step", round(ms, 2))
     log("patches_per_sec", round(cfg["batch"] / ms * 1e3, 2))
 
-    logdir = "/tmp/prof_3d"
+    # fresh dir per run: serialized_op_times globs every trace under the
+    # dir, so a reused path silently mixes in stale runs
+    import shutil
+    import tempfile
+
+    logdir = tempfile.mkdtemp(prefix="prof_3d_")
     jax.profiler.start_trace(logdir)
     for _ in range(5):
         params, opt_state, loss = jstep(params, opt_state, x, y, key)

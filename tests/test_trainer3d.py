@@ -156,3 +156,19 @@ def test_tensor_parallel_config(volumes, tmp_path_factory):
     ][0]
     assert wide.addressable_shards[0].data.shape[-1] == wide.shape[-1] // 4
     assert trainer.num_iterations > 1
+
+
+def test_spatial_halo_config(volumes, tmp_path_factory):
+    """`parallel: {spatial_halo: 2}` trains each batch as ONE spatially-
+    sharded volume (H slabs over the 8 data devices, ppermute halo
+    exchange) through the config-driven trainer; loss decreases and
+    checkpoints are written."""
+    ckpt = str(tmp_path_factory.mktemp("ckpt_sp"))
+    cfg = _config(volumes, ckpt, max_num_epochs=2, max_num_iterations=8,
+                  validate_after_iters=4)
+    cfg["parallel"] = {"spatial_halo": 2}
+    trainer = create_trainer(cfg)
+    assert trainer.spatial_halo == 2
+    trainer.fit()
+    assert trainer.num_iterations > 1
+    assert os.path.exists(os.path.join(ckpt, "last_checkpoint.msgpack"))
