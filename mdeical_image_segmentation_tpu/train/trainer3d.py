@@ -252,7 +252,40 @@ class UNetTrainer:
         }
         self._state = self._place_state(state)
 
-        if self._resume_path is not None:
+        if self._resume_path is not None and os.path.isdir(self._resume_path):
+            # orbax layout (the TP-sharded save): restore against a template
+            # already placed on the mesh — leaves come back with the same
+            # shardings, no host gather
+            from .orbax_ckpt import OrbaxCheckpointer
+
+            logger.info(f"Loading orbax checkpoint '{self._resume_path}'...")
+            placed = self._place_state(state)
+            saved = OrbaxCheckpointer(self._resume_path).restore(
+                template={
+                    "num_epochs": 0,
+                    "num_iterations": 0,
+                    "model_state_dict": {
+                        "params": placed["params"],
+                        "batch_stats": placed["batch_stats"],
+                    },
+                    "best_eval_score": 0.0,
+                    "optimizer_state_dict": placed["opt_state"],
+                }
+            )
+            self._state = {
+                "params": saved["model_state_dict"]["params"],
+                "batch_stats": saved["model_state_dict"]["batch_stats"],
+                "opt_state": saved["optimizer_state_dict"],
+            }
+            self.best_eval_score = float(saved["best_eval_score"])
+            self.num_iterations = int(saved["num_iterations"])
+            self.num_epochs = int(saved["num_epochs"])
+            logger.info(
+                f"Checkpoint loaded. Epoch: {self.num_epochs}. "
+                f"Iteration: {self.num_iterations}. "
+                f"Best val score: {self.best_eval_score}."
+            )
+        elif self._resume_path is not None:
             logger.info(f"Loading checkpoint '{self._resume_path}'...")
             saved = ckpt.load_checkpoint(
                 self._resume_path,
@@ -580,6 +613,31 @@ class UNetTrainer:
     def _save_checkpoint(self, is_best: bool):
         from ..parallel.distributed import is_primary
 
+        if self.tensor_parallel:
+            # TP state is physically sharded over the model axis: gathering
+            # to host (device_get) fails on non-addressable shards in a
+            # multi-host mesh.  Orbax saves the sharded jax.Arrays directly
+            # (each host writes its shards) — ALL processes participate.
+            from .orbax_ckpt import OrbaxCheckpointer
+
+            if not hasattr(self, "_orbax"):
+                self._orbax = OrbaxCheckpointer(
+                    os.path.join(self.checkpoint_dir, "orbax")
+                )
+            self._orbax.save(
+                {
+                    "num_epochs": self.num_epochs + 1,
+                    "num_iterations": self.num_iterations,
+                    "model_state_dict": {
+                        "params": self._state["params"],
+                        "batch_stats": self._state["batch_stats"],
+                    },
+                    "best_eval_score": self.best_eval_score,
+                    "optimizer_state_dict": self._state["opt_state"],
+                },
+                is_best=is_best,
+            )
+            return
         if not is_primary():
             return  # replicated state; only process 0 writes
         state = jax.device_get(self._state)

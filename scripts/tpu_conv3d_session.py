@@ -60,6 +60,25 @@ def conv3d_slab(x, w):
     return y.reshape(n, d, h, ww, -1)
 
 
+def conv3d_cat(x, w):
+    """(N,D,H,W,Ci) ⊛ (3,3,3,Ci,Co) as ONE 2D conv over N·D slabs with the
+    kd depth taps concatenated along channels (K = kd·Ci → better MXU
+    lane utilization than kd separate K=Ci convs)."""
+    n, d, h, ww, ci = x.shape
+    kd = w.shape[0]
+    xp = jnp.pad(x, ((0, 0), (kd // 2, kd // 2), (0, 0), (0, 0), (0, 0)))
+    xcat = jnp.concatenate(
+        [lax.dynamic_slice_in_dim(xp, k, d, axis=1) for k in range(kd)],
+        axis=-1,
+    )
+    wcat = jnp.concatenate([w[k] for k in range(kd)], axis=-2)
+    y = lax.conv_general_dilated(
+        xcat.reshape(n * d, h, ww, kd * ci), wcat, (1, 1), "SAME",
+        dimension_numbers=DN2,
+    )
+    return y.reshape(n, d, h, ww, -1)
+
+
 def time_call(fn, *args, iters=10):
     r = fn(*args)
     jax.tree_util.tree_map(
@@ -83,19 +102,26 @@ def bench_shape(tag, n, d, h, w, ci, co, dtype=jnp.bfloat16):
 
     f_nat = jax.jit(conv3d_native)
     f_slab = jax.jit(conv3d_slab)
+    f_cat = jax.jit(conv3d_cat)
 
     # numerics check once per shape
     y1 = np.asarray(f_nat(x, k), np.float32)
     y2 = np.asarray(f_slab(x, k), np.float32)
     err = float(np.max(np.abs(y1 - y2)) / (np.max(np.abs(y1)) + 1e-9))
     log(f"{tag}_relerr", round(err, 5))
+    y3 = np.asarray(f_cat(x, k), np.float32)
+    errc = float(np.max(np.abs(y3 - y1)) / (np.max(np.abs(y1)) + 1e-9))
+    log(f"{tag}_cat_relerr", round(errc, 5))
 
     ms_nat = time_call(f_nat, x, k)
     ms_slab = time_call(f_slab, x, k)
+    ms_cat = time_call(f_cat, x, k)
     log(f"{tag}_fwd_native_ms", round(ms_nat, 3))
     log(f"{tag}_fwd_slab_ms", round(ms_slab, 3))
+    log(f"{tag}_fwd_cat_ms", round(ms_cat, 3))
     log(f"{tag}_fwd_native_tf", round(gflop / ms_nat, 1))
     log(f"{tag}_fwd_slab_tf", round(gflop / ms_slab, 1))
+    log(f"{tag}_fwd_cat_tf", round(gflop / ms_cat, 1))
 
     def loss_nat(xx, kk):
         return jnp.sum(jnp.square(conv3d_native(xx, kk)))
@@ -103,12 +129,18 @@ def bench_shape(tag, n, d, h, w, ci, co, dtype=jnp.bfloat16):
     def loss_slab(xx, kk):
         return jnp.sum(jnp.square(conv3d_slab(xx, kk)))
 
+    def loss_cat(xx, kk):
+        return jnp.sum(jnp.square(conv3d_cat(xx, kk)))
+
     g_nat = jax.jit(jax.grad(loss_nat, argnums=(0, 1)))
     g_slab = jax.jit(jax.grad(loss_slab, argnums=(0, 1)))
+    g_cat = jax.jit(jax.grad(loss_cat, argnums=(0, 1)))
     ms_gnat = time_call(g_nat, x, k)
     ms_gslab = time_call(g_slab, x, k)
+    ms_gcat = time_call(g_cat, x, k)
     log(f"{tag}_grad_native_ms", round(ms_gnat, 3))
     log(f"{tag}_grad_slab_ms", round(ms_gslab, 3))
+    log(f"{tag}_grad_cat_ms", round(ms_gcat, 3))
 
 
 def main():

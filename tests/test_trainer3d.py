@@ -172,3 +172,39 @@ def test_spatial_halo_config(volumes, tmp_path_factory):
     trainer.fit()
     assert trainer.num_iterations > 1
     assert os.path.exists(os.path.join(ckpt, "last_checkpoint.msgpack"))
+
+
+def test_tensor_parallel_orbax_checkpoint_roundtrip(volumes, tmp_path_factory):
+    """TP-sharded state saves via orbax (no host gather — the multi-host-safe
+    path) and resumes with shardings intact."""
+    import jax
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt_tp_oc"))
+    cfg = _config(volumes, ckpt, max_num_epochs=1, max_num_iterations=4,
+                  validate_after_iters=2)
+    cfg["parallel"] = {"model_axis": 4, "tensor_parallel": True}
+    trainer = create_trainer(cfg)
+    trainer.fit()
+    orbax_dir = os.path.join(ckpt, "orbax")
+    assert os.path.exists(os.path.join(orbax_dir, "last"))
+
+    cfg2 = _config(volumes, ckpt, max_num_epochs=1, max_num_iterations=4)
+    cfg2["parallel"] = {"model_axis": 4, "tensor_parallel": True}
+    cfg2["trainer"]["resume"] = orbax_dir
+    trainer2 = create_trainer(cfg2)
+    batch = next(iter(trainer2.loaders["train"]))
+    input, _, _ = trainer2._split_training_batch(batch)
+    trainer2._init_state(input)
+    # restored to the SAVE point (the msgpack scheme's semantics too):
+    # the last validate/save fired at iteration 2 of the 2-iteration epoch
+    assert trainer2.num_iterations == 2
+    wide = [
+        v for v in jax.tree_util.tree_leaves(trainer2._state["params"])
+        if v.ndim == 5 and v.shape[-1] >= 8
+    ][0]
+    assert wide.addressable_shards[0].data.shape[-1] == wide.shape[-1] // 4
+    # restored params equal the fitted ones
+    a = jax.tree_util.tree_leaves(trainer._state["params"])[0]
+    b = jax.tree_util.tree_leaves(trainer2._state["params"])[0]
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
