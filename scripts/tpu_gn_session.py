@@ -92,7 +92,12 @@ def main():
     _ = float((jnp.ones((64, 64)) @ jnp.ones((64, 64))).sum())
     log("claim_s", round(time.time() - t0, 1))
 
-    if os.environ.get("CONV_SLAB"):
+    if os.environ.get("SLAB_BATCH"):
+        # batch scaling of the slab+hybrid step (HBM-capacity permitting)
+        time_config("gcr_slab_b4", "gcr", batch=4)
+        time_config("gcr_slab_b8", "gcr", batch=8)
+        time_config("gcr_slab_w64b2", "gcr", f_maps=64, batch=2)
+    elif os.environ.get("CONV_SLAB"):
         # slab-decomposed 3D convs (ops/conv3d.py) + hybrid GN, vs the
         # native-conv 238.9 ms baseline from the GN_MODES run
         time_config("gcr_slab", "gcr")
