@@ -33,14 +33,14 @@ def log(k, v):
         json.dump(OUT, f, indent=2)
 
 
-def build(layer_order, f_maps=32, batch=2, patch=(64, 128, 128)):
+def build(layer_order, f_maps=32, batch=2, patch=(64, 128, 128), remat=False):
     from mdeical_image_segmentation_tpu.losses import BCEDiceLoss
     from mdeical_image_segmentation_tpu.models import get_model
 
     model = get_model(
         {"name": "UNet3D", "in_channels": 1, "out_channels": 1,
          "f_maps": f_maps, "num_levels": 4, "layer_order": layer_order,
-         "dtype": jnp.bfloat16}
+         "dtype": jnp.bfloat16, "remat": remat}
     )
     criterion = BCEDiceLoss()
     rng = np.random.RandomState(0)
@@ -92,7 +92,19 @@ def main():
     _ = float((jnp.ones((64, 64)) @ jnp.ones((64, 64))).sum())
     log("claim_s", round(time.time() - t0, 1))
 
-    if os.environ.get("SLAB_BATCH"):
+    if os.environ.get("REF_PATCH"):
+        # the reference's 3D config of record: FilterSliceBuilder patch
+        # [80, 170, 170], f_maps=64, batch 1 (reference resources/*.yml)
+        for name, kw in [
+            ("refpatch_w64b1", dict(f_maps=64, batch=1, patch=(80, 170, 170))),
+            ("refpatch_w64b1_remat",
+             dict(f_maps=64, batch=1, patch=(80, 170, 170), remat=True)),
+        ]:
+            try:
+                time_config(name, "gcr", **kw)
+            except Exception as e:
+                log(f"{name}_error", f"{type(e).__name__}: {e}"[:300])
+    elif os.environ.get("SLAB_BATCH"):
         # batch scaling of the slab+hybrid step (HBM-capacity permitting)
         time_config("gcr_slab_b4", "gcr", batch=4)
         time_config("gcr_slab_b8", "gcr", batch=8)
