@@ -435,18 +435,40 @@ class UNetTrainer:
             f"Finishing training..."
         )
 
+    def _prefetched_batches(self, loader, size: int = 2):
+        """Device-put ``size`` batches ahead so H2D transfers overlap the
+        preceding train steps (double buffering; device_put is async).
+        Same pattern as parallel/mesh.py::device_prefetch, routed through
+        ``_split_training_batch`` for weight/spatial handling."""
+        import collections
+
+        queue = collections.deque()
+        it = iter(loader)
+        try:
+            for _ in range(size):
+                queue.append(self._split_training_batch(next(it)))
+        except StopIteration:
+            pass
+        while queue:
+            try:
+                queue.append(self._split_training_batch(next(it)))
+            except StopIteration:
+                pass
+            yield queue.popleft()
+
     def train(self) -> bool:
         train_losses = RunningAverage()
         train_eval_scores = RunningAverage()
         rng = jax.random.PRNGKey(self.seed + 1)
 
-        for t in self.loaders["train"]:
+        for input, target, weight in self._prefetched_batches(
+            self.loaders["train"]
+        ):
             logger.info(
                 f"Training iteration [{self.num_iterations}/"
                 f"{self.max_num_iterations}]. Epoch [{self.num_epochs}/"
                 f"{self.max_num_epochs - 1}]"
             )
-            input, target, weight = self._split_training_batch(t)
             if self._state is None:
                 self._init_state(input)
 
