@@ -147,6 +147,7 @@ class StandardPredictor(_AbstractPredictor):
         acc = jnp.zeros((*volume_shape, n_ch), jnp.float32)
         cnt = jnp.zeros((*volume_shape, n_ch), jnp.float32)
         accumulate = jax.jit(overlap_add_into, donate_argnums=(0, 1))
+        pallas_ok = True  # flips to the XLA path if the kernel can't compile
 
         batch_size = None
         for input, indices in test_loader:
@@ -172,10 +173,27 @@ class StandardPredictor(_AbstractPredictor):
                     [starts, np.repeat(starts[-1:], pad, axis=0)], axis=0
                 )
                 valid = np.concatenate([valid, np.zeros((pad,), np.float32)])
-            acc, cnt = accumulate(
-                acc, cnt, jnp.asarray(prediction), jnp.asarray(starts),
-                jnp.asarray(valid),
-            )
+            args = (jnp.asarray(prediction), jnp.asarray(starts),
+                    jnp.asarray(valid))
+            if pallas_ok:
+                try:
+                    acc, cnt = accumulate(acc, cnt, *args)
+                except Exception:  # pallas compile unavailable (e.g. a
+                    # remote-compile service that can't build DMA kernels):
+                    # fall back to the XLA overlap-add for the rest of the run
+                    from ..ops.overlap import overlap_add_into_xla
+
+                    logger.warning(
+                        "pallas overlap-add failed to compile; falling back "
+                        "to the XLA accumulate path"
+                    )
+                    pallas_ok = False
+                    accumulate = jax.jit(
+                        overlap_add_into_xla, donate_argnums=(0, 1)
+                    )
+                    acc, cnt = accumulate(acc, cnt, *args)
+            else:
+                acc, cnt = accumulate(acc, cnt, *args)
         acc_np = np.moveaxis(np.asarray(jax.device_get(acc)), -1, 0)
         cnt_np = np.moveaxis(np.asarray(jax.device_get(cnt)), -1, 0)
         return acc_np, cnt_np

@@ -155,10 +155,19 @@ def overlap_add_into(
     starts: jax.Array,
     valid: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Backend-dispatching accumulate (pallas on TPU, XLA elsewhere)."""
+    """Backend-dispatching accumulate (pallas on TPU, XLA elsewhere).
+
+    ``TPUSEG_NO_PALLAS_OVERLAP=1`` forces the XLA path — the escape hatch
+    for environments whose pallas compile path is unavailable (e.g. a
+    remote-compile service that cannot build DMA kernels)."""
+    import os
+
     if valid is None:
         valid = jnp.ones((patches.shape[0],), jnp.float32)
-    if jax.default_backend() == "tpu":
+    if (
+        jax.default_backend() == "tpu"
+        and not os.environ.get("TPUSEG_NO_PALLAS_OVERLAP")
+    ):
         return overlap_add_into_pallas(acc, cnt, patches, starts, valid)
     return overlap_add_into_xla(acc, cnt, patches, starts, valid)
 

@@ -58,7 +58,7 @@ def main():
                       "accumulate_on_device": True},
         "loaders": {
             "dataset": "StandardHDF5Dataset",
-            "batch_size": 1,
+            "batch_size": int(os.environ.get("PRED_BATCH", 4)),
             "raw_internal_path": "raw",
             "test": {
                 "file_paths": [raw_path],
