@@ -169,9 +169,12 @@ def main():
     # Extras stop when the remaining budget runs out (remote-compile latency
     # in this environment is variable); the headline metric always runs.
     budget_s = float(os.environ.get("BENCH_BUDGET_S", 480))
-    t_start = time.time()
 
     device = jax.devices()[0]
+    # chip-claim barrier: tunnel claims vary 15 s - 20 min and would
+    # otherwise eat the whole extras budget before any measurement
+    _ = float(jnp.zeros((8, 8)).sum())
+    t_start = time.time()
     headline = bench_unet2d(base_features=64, batch=32, steps=40)
 
     def extra(fn, *args, **kwargs):
