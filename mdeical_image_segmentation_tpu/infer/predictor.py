@@ -146,8 +146,11 @@ class StandardPredictor(_AbstractPredictor):
         n_ch = 1 if self.prediction_channel is not None else self.out_channels
         acc = jnp.zeros((*volume_shape, n_ch), jnp.float32)
         cnt = jnp.zeros((*volume_shape, n_ch), jnp.float32)
+        # the first call probes WITHOUT donation: a pallas failure after
+        # donation would have invalidated acc/cnt and made the XLA retry
+        # impossible.  Donation kicks in from the second batch on.
+        accumulate_probe = jax.jit(overlap_add_into)
         accumulate = jax.jit(overlap_add_into, donate_argnums=(0, 1))
-        pallas_ok = True  # flips to the XLA path if the kernel can't compile
 
         batch_size = None
         for input, indices in test_loader:
@@ -175,23 +178,28 @@ class StandardPredictor(_AbstractPredictor):
                 valid = np.concatenate([valid, np.zeros((pad,), np.float32)])
             args = (jnp.asarray(prediction), jnp.asarray(starts),
                     jnp.asarray(valid))
-            if pallas_ok:
+            if accumulate_probe is not None:  # first batch: probe, no donate
                 try:
-                    acc, cnt = accumulate(acc, cnt, *args)
-                except Exception:  # pallas compile unavailable (e.g. a
-                    # remote-compile service that can't build DMA kernels):
-                    # fall back to the XLA overlap-add for the rest of the run
+                    new_acc, new_cnt = accumulate_probe(acc, cnt, *args)
+                    new_acc.block_until_ready()
+                    acc, cnt = new_acc, new_cnt
+                except Exception as exc:
+                    # pallas path unavailable (e.g. a remote-compile service
+                    # that can't build DMA kernels): fall back to the XLA
+                    # overlap-add for the rest of the run.  acc/cnt are
+                    # intact — the probe call does not donate.
                     from ..ops.overlap import overlap_add_into_xla
 
                     logger.warning(
-                        "pallas overlap-add failed to compile; falling back "
-                        "to the XLA accumulate path"
+                        "pallas overlap-add failed "
+                        f"({type(exc).__name__}: {str(exc)[:200]}); falling "
+                        "back to the XLA accumulate path"
                     )
-                    pallas_ok = False
                     accumulate = jax.jit(
                         overlap_add_into_xla, donate_argnums=(0, 1)
                     )
                     acc, cnt = accumulate(acc, cnt, *args)
+                accumulate_probe = None
             else:
                 acc, cnt = accumulate(acc, cnt, *args)
         acc_np = np.moveaxis(np.asarray(jax.device_get(acc)), -1, 0)

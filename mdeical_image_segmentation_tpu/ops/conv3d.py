@@ -49,6 +49,10 @@ def use_slab(kernel_size: Sequence[int], strides: Sequence[int]) -> bool:
         return False
     if mode == "slab":
         return True
+    if mode != "auto":
+        raise ValueError(
+            f"TPUSEG_CONV3D={mode!r}: expected 'slab', 'native', or 'auto'"
+        )
     return jax.default_backend() == "tpu"
 
 

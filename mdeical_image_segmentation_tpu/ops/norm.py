@@ -228,7 +228,11 @@ def _gn_mode(x: jax.Array) -> str:
     if _pick_bh(h, w * c, x.dtype.itemsize) is None:
         return "xla"
     mode = os.environ.get("TPUSEG_GN_MODE", "hybrid")
-    return mode if mode in ("full", "hybrid") else "hybrid"
+    if mode not in ("full", "hybrid", "xla"):
+        raise ValueError(
+            f"TPUSEG_GN_MODE={mode!r}: expected 'full', 'hybrid', or 'xla'"
+        )
+    return mode
 
 
 # Row refs ((N, W·C) stats and coefficients) are passed as FULL arrays —
@@ -343,12 +347,16 @@ def _fold_row(row_nwc: jax.Array, w: int, c: int) -> jax.Array:
     return jnp.sum(row_nwc.reshape(row_nwc.shape[0], w, c), axis=1)
 
 
-def _gn_fwd_pallas(x, scale, bias, num_groups, eps, interpret=False):
-    n, d, h, w, c = x.shape
-    cg = c // num_groups
-    m = float(d * h * w * cg)
-    x4 = x.reshape(n, d, h, w * c)
+# -- algebra shared by the 'full' and 'hybrid' modes -------------------------
+# (the modes differ ONLY in who runs the elementwise passes: pallas kernels
+# in 'full', plain XLA broadcasts in 'hybrid'; reductions and coefficient
+# math are identical and live here so the modes cannot drift apart)
 
+
+def _gn_pallas_stats(x4, w, c, num_groups, eps, m, interpret):
+    """Pallas streaming reduction → per-channel fp32 (mean_c, inv_c)."""
+    n = x4.shape[0]
+    cg = c // num_groups
     s1r, s2r = _gn_grid(x4, 0, _stats_kernel, 2, interpret=interpret)(x4)
     s1, s2 = _fold_row(s1r, w, c), _fold_row(s2r, w, c)
     gs1 = jnp.sum(s1.reshape(n, num_groups, cg), axis=-1)
@@ -356,32 +364,28 @@ def _gn_fwd_pallas(x, scale, bias, num_groups, eps, interpret=False):
     mean = gs1 / m
     var = jnp.maximum(0.0, gs2 / m - jnp.square(mean))
     inv = lax.rsqrt(var + eps)
-    mean_c = _expand_groups(mean, cg)
-    inv_c = _expand_groups(inv, cg)
+    return _expand_groups(mean, cg), _expand_groups(inv, cg)
 
-    sf = scale.astype(jnp.float32)[None]
-    a = inv_c * sf
+
+def _gn_affine_coeffs(mean_c, inv_c, scale, bias):
+    """y = a·x + b coefficients, fp32 (N, C)."""
+    a = inv_c * scale.astype(jnp.float32)[None]
     b = bias.astype(jnp.float32)[None] - mean_c * a
-    y4 = _gn_grid(x4, 2, _affine_kernel, 0, out_full=x.dtype,
-                  interpret=interpret)(x4, _tile_row(a, w), _tile_row(b, w))
-    return y4.reshape(x.shape), (x, mean_c, inv_c, scale)
+    return a, b
 
 
-def _gn_bwd_pallas(num_groups, eps, res, g, interpret=False):
-    x, mean_c, inv_c, scale = res
-    n, d, h, w, c = x.shape
-    cg = c // num_groups
-    m = float(d * h * w * cg)
-    x4 = x.reshape(n, d, h, w * c)
-    g4 = g.reshape(n, d, h, w * c)
-
+def _gn_bwd_reduce(x4, g4, mean_c, inv_c, w, c, interpret):
+    """Pallas backward reduction → per-channel (Σg, Σg·x̂) fp32 rows."""
     c1r, c2r = _gn_grid(x4, 2, _bwd_reduce_kernel, 2, interpret=interpret)(
         x4, g4, _tile_row(mean_c, w), _tile_row(inv_c, w)
     )
-    c1, c2 = _fold_row(c1r, w, c), _fold_row(c2r, w, c)
-    dbias = jnp.sum(c1, axis=0).astype(scale.dtype)
-    dscale = jnp.sum(c2, axis=0).astype(scale.dtype)
+    return _fold_row(c1r, w, c), _fold_row(c2r, w, c)
 
+
+def _gn_bwd_coeffs(c1, c2, mean_c, inv_c, scale, num_groups, m):
+    """dx = a·g + cc·x + dd coefficients, fp32 (N, C)."""
+    n, c = c1.shape
+    cg = c // num_groups
     sf = scale.astype(jnp.float32)[None]
     g1 = _expand_groups(
         jnp.sum((c1 * sf).reshape(n, num_groups, cg), axis=-1) / m, cg
@@ -392,6 +396,31 @@ def _gn_bwd_pallas(num_groups, eps, res, g, interpret=False):
     a = inv_c * sf
     cc = -(inv_c * inv_c) * g2
     dd = -inv_c * g1 - mean_c * cc
+    return a, cc, dd
+
+
+def _gn_fwd_pallas(x, scale, bias, num_groups, eps, interpret=False):
+    n, d, h, w, c = x.shape
+    m = float(d * h * w * (c // num_groups))
+    x4 = x.reshape(n, d, h, w * c)
+    mean_c, inv_c = _gn_pallas_stats(x4, w, c, num_groups, eps, m, interpret)
+    a, b = _gn_affine_coeffs(mean_c, inv_c, scale, bias)
+    y4 = _gn_grid(x4, 2, _affine_kernel, 0, out_full=x.dtype,
+                  interpret=interpret)(x4, _tile_row(a, w), _tile_row(b, w))
+    return y4.reshape(x.shape), (x, mean_c, inv_c, scale)
+
+
+def _gn_bwd_pallas(num_groups, eps, res, g, interpret=False):
+    x, mean_c, inv_c, scale = res
+    n, d, h, w, c = x.shape
+    m = float(d * h * w * (c // num_groups))
+    x4 = x.reshape(n, d, h, w * c)
+    g4 = g.reshape(n, d, h, w * c)
+
+    c1, c2 = _gn_bwd_reduce(x4, g4, mean_c, inv_c, w, c, interpret)
+    dbias = jnp.sum(c1, axis=0).astype(scale.dtype)
+    dscale = jnp.sum(c2, axis=0).astype(scale.dtype)
+    a, cc, dd = _gn_bwd_coeffs(c1, c2, mean_c, inv_c, scale, num_groups, m)
     dx4 = _gn_grid(x4, 3, _bwd_dx_kernel, 0, out_full=x.dtype,
                    interpret=interpret)(
         x4, g4, _tile_row(a, w), _tile_row(cc, w), _tile_row(dd, w)
@@ -412,22 +441,10 @@ def _bcast(vec_nc: jax.Array, ndim: int) -> jax.Array:
 
 def _gn_fwd_hybrid(x, scale, bias, num_groups, eps, interpret=False):
     n, d, h, w, c = x.shape
-    cg = c // num_groups
-    m = float(d * h * w * cg)
+    m = float(d * h * w * (c // num_groups))
     x4 = x.reshape(n, d, h, w * c)
-
-    s1r, s2r = _gn_grid(x4, 0, _stats_kernel, 2, interpret=interpret)(x4)
-    s1, s2 = _fold_row(s1r, w, c), _fold_row(s2r, w, c)
-    gs1 = jnp.sum(s1.reshape(n, num_groups, cg), axis=-1)
-    gs2 = jnp.sum(s2.reshape(n, num_groups, cg), axis=-1)
-    mean = gs1 / m
-    var = jnp.maximum(0.0, gs2 / m - jnp.square(mean))
-    inv = lax.rsqrt(var + eps)
-    mean_c = _expand_groups(mean, cg)
-    inv_c = _expand_groups(inv, cg)
-
-    a = inv_c * scale.astype(jnp.float32)[None]
-    b = bias.astype(jnp.float32)[None] - mean_c * a
+    mean_c, inv_c = _gn_pallas_stats(x4, w, c, num_groups, eps, m, interpret)
+    a, b = _gn_affine_coeffs(mean_c, inv_c, scale, bias)
     y = x.astype(jnp.float32) * _bcast(a, x.ndim) + _bcast(b, x.ndim)
     return y.astype(x.dtype), (x, mean_c, inv_c, scale)
 
@@ -435,28 +452,14 @@ def _gn_fwd_hybrid(x, scale, bias, num_groups, eps, interpret=False):
 def _gn_bwd_hybrid(num_groups, eps, res, g, interpret=False):
     x, mean_c, inv_c, scale = res
     n, d, h, w, c = x.shape
-    cg = c // num_groups
-    m = float(d * h * w * cg)
+    m = float(d * h * w * (c // num_groups))
     x4 = x.reshape(n, d, h, w * c)
     g4 = g.reshape(n, d, h, w * c)
 
-    c1r, c2r = _gn_grid(x4, 2, _bwd_reduce_kernel, 2, interpret=interpret)(
-        x4, g4, _tile_row(mean_c, w), _tile_row(inv_c, w)
-    )
-    c1, c2 = _fold_row(c1r, w, c), _fold_row(c2r, w, c)
+    c1, c2 = _gn_bwd_reduce(x4, g4, mean_c, inv_c, w, c, interpret)
     dbias = jnp.sum(c1, axis=0).astype(scale.dtype)
     dscale = jnp.sum(c2, axis=0).astype(scale.dtype)
-
-    sf = scale.astype(jnp.float32)[None]
-    g1 = _expand_groups(
-        jnp.sum((c1 * sf).reshape(n, num_groups, cg), axis=-1) / m, cg
-    )
-    g2 = _expand_groups(
-        jnp.sum((c2 * sf).reshape(n, num_groups, cg), axis=-1) / m, cg
-    )
-    a = inv_c * sf
-    cc = -(inv_c * inv_c) * g2
-    dd = -inv_c * g1 - mean_c * cc
+    a, cc, dd = _gn_bwd_coeffs(c1, c2, mean_c, inv_c, scale, num_groups, m)
     dx = (
         g.astype(jnp.float32) * _bcast(a, x.ndim)
         + x.astype(jnp.float32) * _bcast(cc, x.ndim)

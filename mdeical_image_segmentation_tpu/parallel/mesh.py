@@ -101,19 +101,20 @@ def local_batch_size(mesh: Mesh, per_device: int) -> int:
     return per_device * mesh.shape[DATA_AXIS]
 
 
-def device_prefetch(iterator, mesh: Mesh, size: int = 2):
+def device_prefetch(iterator, mesh: Mesh, size: int = 2, put=None):
     """Wrap a host batch iterator so device_put runs `size` batches ahead.
 
     H2D transfers overlap with device compute on the preceding steps — the
     double-buffering that keeps the input pipeline from serializing with
     the train step (BASELINE north star: 'never starves the device').
+    ``put`` overrides the placement function (default: batch-axis
+    ``shard_batch``) — e.g. the 3D trainer's weight/spatial-aware splitter.
     """
     import collections
 
     queue = collections.deque()
 
-    def _put(batch):
-        return shard_batch(mesh, batch)
+    _put = put if put is not None else (lambda batch: shard_batch(mesh, batch))
 
     it = iter(iterator)
     try:

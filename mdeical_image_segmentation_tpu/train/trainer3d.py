@@ -259,17 +259,19 @@ class UNetTrainer:
             from .orbax_ckpt import OrbaxCheckpointer
 
             logger.info(f"Loading orbax checkpoint '{self._resume_path}'...")
-            placed = self._place_state(state)
-            saved = OrbaxCheckpointer(self._resume_path).restore(
+            # self._state (placed above) doubles as the restore template —
+            # leaves come back with its shardings, no second placement pass
+            self._orbax = OrbaxCheckpointer(self._resume_path)
+            saved = self._orbax.restore(
                 template={
                     "num_epochs": 0,
                     "num_iterations": 0,
                     "model_state_dict": {
-                        "params": placed["params"],
-                        "batch_stats": placed["batch_stats"],
+                        "params": self._state["params"],
+                        "batch_stats": self._state["batch_stats"],
                     },
                     "best_eval_score": 0.0,
-                    "optimizer_state_dict": placed["opt_state"],
+                    "optimizer_state_dict": self._state["opt_state"],
                 }
             )
             self._state = {
@@ -280,6 +282,8 @@ class UNetTrainer:
             self.best_eval_score = float(saved["best_eval_score"])
             self.num_iterations = int(saved["num_iterations"])
             self.num_epochs = int(saved["num_epochs"])
+            # keep writing into the run being resumed (msgpack-branch parity)
+            self.checkpoint_dir = os.path.dirname(self._resume_path)
             logger.info(
                 f"Checkpoint loaded. Epoch: {self.num_epochs}. "
                 f"Iteration: {self.num_iterations}. "
@@ -424,7 +428,10 @@ class UNetTrainer:
     # -- loop ---------------------------------------------------------------
 
     def fit(self):
-        for _ in range(self.num_epochs, self.max_num_epochs):
+        # while-loop (not a frozen range): state restore happens lazily in
+        # the first train() iteration, so num_epochs may jump mid-loop — a
+        # pre-captured range would run max_num_epochs EXTRA epochs on resume
+        while self.num_epochs < self.max_num_epochs:
             should_terminate = self.train()
             if should_terminate:
                 logger.info("Stopping criterion is satisfied. Finishing training")
@@ -437,24 +444,11 @@ class UNetTrainer:
 
     def _prefetched_batches(self, loader, size: int = 2):
         """Device-put ``size`` batches ahead so H2D transfers overlap the
-        preceding train steps (double buffering; device_put is async).
-        Same pattern as parallel/mesh.py::device_prefetch, routed through
-        ``_split_training_batch`` for weight/spatial handling."""
-        import collections
-
-        queue = collections.deque()
-        it = iter(loader)
-        try:
-            for _ in range(size):
-                queue.append(self._split_training_batch(next(it)))
-        except StopIteration:
-            pass
-        while queue:
-            try:
-                queue.append(self._split_training_batch(next(it)))
-            except StopIteration:
-                pass
-            yield queue.popleft()
+        preceding train steps (parallel/mesh.py::device_prefetch with the
+        weight/spatial-aware ``_split_training_batch`` as the placement)."""
+        return mesh_lib.device_prefetch(
+            loader, self.mesh, size=size, put=self._split_training_batch
+        )
 
     def train(self) -> bool:
         train_losses = RunningAverage()
@@ -522,12 +516,17 @@ class UNetTrainer:
                         np.asarray(self.eval_criterion(act_output, target))
                     )
                     train_eval_scores.update(eval_score, self._batch_size(input))
-                logger.info(
-                    f"Training stats. Loss: {train_losses.avg}. "
-                    f"Evaluation score: {train_eval_scores.avg}"
-                )
-                self._log_stats("train", train_losses.avg, train_eval_scores.avg)
-                if output is not None:
+                if output is None:  # spatial mode: no per-step output/score
+                    logger.info(f"Training stats. Loss: {train_losses.avg}.")
+                    self._log_stats("train", train_losses.avg, None)
+                else:
+                    logger.info(
+                        f"Training stats. Loss: {train_losses.avg}. "
+                        f"Evaluation score: {train_eval_scores.avg}"
+                    )
+                    self._log_stats(
+                        "train", train_losses.avg, train_eval_scores.avg
+                    )
                     self._log_images(input, target, output, "train_")
 
             if self._preempted:
@@ -683,11 +682,14 @@ class UNetTrainer:
     def _log_lr(self):
         self.writer.scalar("learning_rate", self.current_lr, self.num_iterations)
 
-    def _log_stats(self, phase: str, loss_avg: float, eval_score_avg: float):
+    def _log_stats(
+        self, phase: str, loss_avg: float, eval_score_avg: Optional[float]
+    ):
         self.writer.scalar(f"{phase}_loss_avg", loss_avg, self.num_iterations)
-        self.writer.scalar(
-            f"{phase}_eval_score_avg", eval_score_avg, self.num_iterations
-        )
+        if eval_score_avg is not None:  # spatial mode computes no train score
+            self.writer.scalar(
+                f"{phase}_eval_score_avg", eval_score_avg, self.num_iterations
+            )
 
     def _log_images(self, input, target, prediction, prefix: str = ""):
         final_activation = self.model.final_activation()

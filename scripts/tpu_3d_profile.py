@@ -115,6 +115,7 @@ def main():
     jax.profiler.stop_trace()
 
     op_time, total = serialized_op_times(logdir)
+    shutil.rmtree(logdir, ignore_errors=True)  # traces parsed; don't pile up
     cats = categorize(op_time, classify)
     log("serialized_ms_per_step", round(total / 5, 2))
     log("breakdown_ms_per_step",

@@ -97,13 +97,17 @@ def test_metrics_logged(fitted):
 
 
 def test_resume_continues(volumes, fitted, tmp_path):
+    """Resume restores the save point and trains the REMAINING epochs only
+    (the pre-fix overrun ran max_num_epochs extra epochs, masking this)."""
     trainer, ckpt = fitted
     iters_before = trainer.num_iterations
-    cfg = _config(volumes, ckpt, max_num_epochs=4,
+    cfg = _config(volumes, ckpt, max_num_epochs=8,
                   resume=os.path.join(ckpt, "last_checkpoint.msgpack"))
     t2 = create_trainer(cfg)
     t2.fit()
+    # trained past the original run's end AND respected the epoch cap
     assert t2.num_iterations >= iters_before
+    assert t2.num_epochs <= 8
 
 
 def test_lr_floor_stops_training(volumes, tmp_path):
@@ -208,3 +212,23 @@ def test_tensor_parallel_orbax_checkpoint_roundtrip(volumes, tmp_path_factory):
     b = jax.tree_util.tree_leaves(trainer2._state["params"])[0]
     import numpy as np
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_resume_does_not_overrun_max_epochs(volumes, tmp_path):
+    """Regression: fit() must re-check num_epochs AFTER the lazy restore —
+    a pre-captured range(num_epochs, max) ran max_num_epochs EXTRA epochs
+    on every resume."""
+    ckpt = str(tmp_path / "ckpt_overrun")
+    cfg = _config(volumes, ckpt, max_num_epochs=2, max_num_iterations=10_000,
+                  validate_after_iters=1)
+    t1 = create_trainer(cfg)
+    t1.fit()
+
+    cfg2 = _config(volumes, ckpt, max_num_epochs=3, max_num_iterations=10_000,
+                   validate_after_iters=1,
+                   resume=os.path.join(ckpt, "last_checkpoint.msgpack"))
+    t2 = create_trainer(cfg2)
+    t2.fit()
+    # restored at the epoch-2 save point, then ran AT MOST 1 remaining epoch
+    # (the pre-fix range loop would have run 3 more, ending at 5)
+    assert t2.num_epochs <= 3, t2.num_epochs
