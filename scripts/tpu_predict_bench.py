@@ -58,7 +58,9 @@ def main():
                       "accumulate_on_device": True},
         "loaders": {
             "dataset": "StandardHDF5Dataset",
-            "batch_size": int(os.environ.get("PRED_BATCH", 4)),
+            # b4 at this geometry OOMs v5e (41.5 GB > 15.75 GB hbm): the
+            # halo-padded (112, 234, 234) f64 forward is ~10 GB per patch
+            "batch_size": int(os.environ.get("PRED_BATCH", 1)),
             "raw_internal_path": "raw",
             "test": {
                 "file_paths": [raw_path],
