@@ -84,7 +84,11 @@ class BatchLoader:
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.drop_last:
-            return max(n // self.batch_size, 0)
+            # never zero: a dataset smaller than the (global) batch still
+            # yields one wrap-padded batch per epoch (VolumeLoader parity) —
+            # e.g. DRIVE's 13-image train split under an 8-device mesh whose
+            # global batch is 40 must train, not crash on an empty epoch
+            return max(n // self.batch_size, 1 if n else 0)
         return -(-n // self.batch_size)
 
     def _index_batches(self) -> List[np.ndarray]:
@@ -98,11 +102,13 @@ class BatchLoader:
         for start in range(0, n, self.batch_size):
             idx = order[start : start + self.batch_size]
             if len(idx) < self.batch_size:
-                if self.drop_last:
+                if self.drop_last and batches:
                     break
                 # pad by wrapping so shapes stay static; callers can use
                 # `valid` to mask padded rows out of metrics.  Tile the
                 # epoch order so even batch_size > 2·len(dataset) fills up.
+                # With drop_last this only triggers for the dataset-smaller-
+                # than-batch case above (guaranteeing one batch per epoch).
                 need = self.batch_size - len(idx)
                 pad = np.tile(order, -(-need // max(n, 1)))[:need]
                 idx = np.concatenate([idx, pad])
@@ -112,6 +118,24 @@ class BatchLoader:
             local = self.batch_size // count
             batches = [b[index * local : (index + 1) * local] for b in batches]
         return batches
+
+    def close(self):
+        """Release the worker thread pool (also runs on GC)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     def _assemble(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
         if self.num_workers > 0:
@@ -134,23 +158,42 @@ class BatchLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        cancel = threading.Event()  # set when the consumer abandons us
+
+        def _put(item) -> bool:
+            """Bounded put that gives up when the iterator was abandoned —
+            otherwise a discarded iterator (e.g. a single next() peek) pins
+            this thread on a full queue forever, holding decoded batches."""
+            while not cancel.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             # propagate assembly failures to the consumer instead of
             # silently ending the epoch on truncated data
             try:
                 for idx in batches:
-                    q.put(self._assemble(idx))
-                q.put(stop)
+                    if cancel.is_set() or not _put(self._assemble(idx)):
+                        return
+                _put(stop)
             except BaseException as exc:  # noqa: BLE001
-                q.put(exc)
+                _put(exc)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # runs on StopIteration AND on GeneratorExit (abandoned
+            # iterator): unblocks the producer so it can exit
+            cancel.set()

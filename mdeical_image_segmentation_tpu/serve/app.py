@@ -117,10 +117,21 @@ class ModelRegistry:
             variables["batch_stats"] = ms["batch_stats"]
         act = model.final_activation()
 
+        # HTTP requests are single 2D slices; a true-3D model needs enough
+        # depth to survive its (num_levels - 1) depth-poolings, so the slice
+        # is replicated to that minimal depth and the middle output slice is
+        # returned (pseudo-3D slice serving)
+        slice_depth = 2 ** (max(int(model_config.get("num_levels", 4)), 1) - 1)
+
         @jax.jit
         def forward(x):
             if not model.is3d and x.ndim == 5:
                 x = jnp.squeeze(x, axis=1)
+            elif model.is3d and x.ndim == 4:
+                x = jnp.repeat(x[:, None], slice_depth, axis=1)
+                out = model.apply(variables, x, False)
+                out = out[:, slice_depth // 2]
+                return act(out) if act is not None else out
             out = model.apply(variables, x, False)
             return act(out) if act is not None else out
 
@@ -343,9 +354,11 @@ class SegmentationServer:
 
     # -- request handling ----------------------------------------------------
 
-    def _build_input(self, image_path: str, entry: ModelEntry) -> np.ndarray:
+    def _build_input(self, image_path: str, entry: ModelEntry):
         """Decode + nearest-resize + normalize (the segmentation analog of
-        the reference's build_input, api.py:30-44)."""
+        the reference's build_input, api.py:30-44).  Returns the model-res
+        float image and the original (height, width) — needed to rescale
+        prompt coordinates into the resized frame."""
         from PIL import Image
 
         from ..data.png2d import nearest_resize
@@ -354,14 +367,20 @@ class SegmentationServer:
         img = np.asarray(Image.open(image_path).convert(mode))
         if img.ndim == 2:
             img = img[..., None]
+        orig_hw = img.shape[:2]
         img = nearest_resize(img, (entry.resolution, entry.resolution))
-        return img.astype(np.float32) / 255.0
+        return img.astype(np.float32) / 255.0, orig_hw
 
-    def _build_prompts(self, payload: Dict[str, Any], entry: ModelEntry):
+    def _build_prompts(self, payload: Dict[str, Any], entry: ModelEntry,
+                       orig_hw=None):
         """Fixed-width prompt arrays from the request JSON: ``points``
         [[x, y], ...] (+ optional ``point_labels``, default all-foreground),
         padded to entry.max_points with the -1 pad label; optional ``box``
-        [[x1, y1], [x2, y2]]."""
+        [[x1, y1], [x2, y2]].
+
+        Coordinates are in the ORIGINAL image's pixel space (the natural
+        client contract) and are rescaled here into the model-resolution
+        frame the image was resized to."""
         points = payload.get("points") or []
         labels = payload.get("point_labels") or [1] * len(points)
         if len(points) != len(labels):
@@ -378,6 +397,13 @@ class SegmentationServer:
         box = payload.get("box")
         if box is not None:
             box = np.asarray(box, np.float32).reshape(2, 2)
+        if orig_hw is not None and orig_hw != (entry.resolution,) * 2:
+            sx = entry.resolution / orig_hw[1]  # x scales with width
+            sy = entry.resolution / orig_hw[0]
+            scale = np.asarray([sx, sy], np.float32)
+            pts = pts * scale
+            if box is not None:
+                box = box * scale
         return pts, lbl, box
 
     def handle_predict(self, payload: Dict[str, Any]) -> Dict[str, Any]:
@@ -386,9 +412,9 @@ class SegmentationServer:
             image_path = payload["image_path"]
             model_name = payload.get("model")
             entry = self.registry.get(model_name)
-            image = self._build_input(image_path, entry)
+            image, orig_hw = self._build_input(image_path, entry)
             if entry.kind == "promptable":
-                pts, lbl, box = self._build_prompts(payload, entry)
+                pts, lbl, box = self._build_prompts(payload, entry, orig_hw)
                 if box is None:
                     probs = self.engine.infer(entry.name, image, pts, lbl)
                 else:
@@ -396,7 +422,12 @@ class SegmentationServer:
                 mask = (probs > entry.threshold).astype(np.uint8)
             else:
                 probs = self.engine.infer(entry.name, image)
-                mask = (probs[..., 0] > entry.threshold).astype(np.uint8)
+                if probs.shape[-1] > 1:
+                    # softmax classes: the mask is the argmax label map —
+                    # thresholding channel 0 (background) would invert it
+                    mask = np.argmax(probs, axis=-1).astype(np.uint8)
+                else:
+                    mask = (probs[..., 0] > entry.threshold).astype(np.uint8)
 
             if payload.get("return") == "mask":
                 response: Any = mask.tolist()
@@ -407,7 +438,11 @@ class SegmentationServer:
                 mask_path = os.path.join(
                     self.output_dir, f"{base}_{entry.name}_mask.png"
                 )
-                Image.fromarray(mask * 255).save(mask_path)
+                # spread label values over the uint8 range (binary → 0/255;
+                # C-class argmax maps → 0, 255//(C-1), …, 255 — `mask*255`
+                # would overflow-wrap multi-class labels)
+                vis = mask * (255 // max(int(mask.max()), 1))
+                Image.fromarray(vis.astype(np.uint8)).save(mask_path)
                 response = mask_path
             elapsed = time.time() - start
             self.stats.record(elapsed)
@@ -466,7 +501,9 @@ class SegmentationServer:
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(length) or b"{}")
-                except json.JSONDecodeError:
+                except (ValueError, json.JSONDecodeError):
+                    # ValueError also covers a malformed Content-Length —
+                    # answer with the JSON 400 envelope, don't drop the socket
                     self._send({"response": "invalid JSON", "status": 400}, 400)
                     return
                 result = server.handle_predict(payload)

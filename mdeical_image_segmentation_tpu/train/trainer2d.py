@@ -388,21 +388,36 @@ class Trainer:
             jax.device_put(jnp.asarray(labels), sharding),
         )
 
+    def _flush_loss_interval(self) -> Optional[float]:
+        """Sync the device-side loss accumulator; returns the interval mean
+        (None for an empty interval) and folds it into the run totals."""
+        if self._loss_n == 0:
+            return None
+        interval_sum = float(jax.device_get(self._loss_acc))
+        self._total_loss += interval_sum
+        self._total_n += self._loss_n
+        mean = interval_sum / self._loss_n
+        self._loss_acc, self._loss_n = None, 0
+        return mean
+
     def _loop_bookkeeping(self, loss, global_step, total_steps, t_start) -> bool:
         """Logging / eval / checkpoint / stop logic shared by both loops.
         Returns True when training should stop."""
+        # accumulate ON DEVICE every step (a lazy scalar add — no host sync,
+        # so the async dispatch pipeline stays full); the host fetch happens
+        # only at logging boundaries.  training_loss therefore averages ALL
+        # steps, HF-style, not every logging_steps-th one.
+        self._loss_acc = loss if self._loss_acc is None else self._loss_acc + loss
+        self._loss_n += 1
         if self.args.logging_steps and global_step % self.args.logging_steps == 0:
-            loss_v = float(jax.device_get(loss))
-            self._loss_acc += loss_v
-            self._loss_n += 1
-            self._total_loss += loss_v
-            self._total_n += 1
+            mean = self._flush_loss_interval()
             elapsed = time.time() - t_start
+            steps_run = global_step - self._start_step  # resume-aware rates
             logs = {
-                "loss": self._loss_acc / self._loss_n,
+                "loss": mean,
                 "step": global_step,
-                "steps_per_sec": global_step / elapsed,
-                "samples_per_sec": global_step * self.train_batch / elapsed,
+                "steps_per_sec": steps_run / elapsed,
+                "samples_per_sec": steps_run * self.train_batch / elapsed,
             }
             self.writer.scalars(
                 {"train/loss": logs["loss"],
@@ -410,7 +425,6 @@ class Trainer:
                 global_step,
             )
             logger.info(f"step {global_step}: {logs}")
-            self._loss_acc, self._loss_n = 0.0, 0
             for cb in self.callbacks:
                 cb.on_log(self.args, self.state, self.control, logs)
 
@@ -451,9 +465,10 @@ class Trainer:
 
         rng = jax.random.PRNGKey(self.args.seed + 1)
         rng = mesh_lib.replicate(self.mesh, rng)
-        self._loss_acc, self._loss_n = 0.0, 0
+        self._loss_acc, self._loss_n = None, 0
         self._total_loss, self._total_n = 0.0, 0
         global_step = int(jax.device_get(self.state.step))
+        self._start_step = global_step
         t_start = time.time()
 
         logger.info(
@@ -463,6 +478,9 @@ class Trainer:
         resident = self._maybe_residence()
         done = False
         profiling = False
+        # resident sampling has no epochs; map eval_strategy='epoch' to an
+        # epoch-equivalent step cadence so it is honored, not silently lost
+        steps_per_epoch = max(1, -(-len(self.train_dataset) // self.train_batch))
         while not done:
             if resident is not None:
                 images_all, labels_all = resident
@@ -474,6 +492,12 @@ class Trainer:
                     done = self._loop_bookkeeping(
                         loss, global_step, total_steps, t_start
                     )
+                    if (
+                        self.args.eval_strategy == "epoch"
+                        and self.eval_dataset is not None
+                        and global_step % steps_per_epoch == 0
+                    ):
+                        self.evaluate()
                 break
             # H2D transfers run two batches ahead of the compute stream
             for sharded in mesh_lib.device_prefetch(loader, self.mesh):
@@ -504,6 +528,7 @@ class Trainer:
 
         if profiling:
             jax.profiler.stop_trace()
+        self._flush_loss_interval()  # fold the partial tail interval in
         train_loss = self._total_loss / max(self._total_n, 1)
         return TrainOutput(global_step, train_loss, {"train_loss": train_loss})
 
@@ -539,15 +564,24 @@ class Trainer:
         return metrics
 
     def _eval_loader(self, dataset) -> BatchLoader:
-        return BatchLoader(
-            dataset,
-            self.eval_batch,
-            shuffle=False,
-            collator=self.data_collator,
-            process_shard=self._process_shard,
-            num_workers=self.args.dataloader_num_workers,
-            prefetch=self.args.dataloader_prefetch,
-        )
+        # cached per dataset: each BatchLoader owns a worker pool, and eval
+        # runs twice per evaluate() — fresh loaders would leak num_workers
+        # threads per call over a long run
+        cache = getattr(self, "_eval_loader_cache", None)
+        if cache is None:
+            cache = self._eval_loader_cache = {}
+        key = id(dataset)
+        if key not in cache:
+            cache[key] = BatchLoader(
+                dataset,
+                self.eval_batch,
+                shuffle=False,
+                collator=self.data_collator,
+                process_shard=self._process_shard,
+                num_workers=self.args.dataloader_num_workers,
+                prefetch=self.args.dataloader_prefetch,
+            )
+        return cache[key]
 
     def _evaluate_streaming(self, dataset) -> Dict[str, float]:
         """O(batch)-memory eval: per-batch sufficient statistics accumulated

@@ -218,6 +218,15 @@ def test_batchloader_wrap_pad_handles_tiny_datasets():
         np.tile([0.0, 1.0, 2.0], 6)[:16],
     )
 
+    # drop_last (the TRAIN path) must also yield one wrap-padded batch for a
+    # dataset smaller than the global batch (regression: DRIVE's 13-image
+    # train split under an 8-device mesh crashed with an empty epoch)
+    train_loader = BatchLoader(_Tiny(), 16, shuffle=True, prefetch=0)
+    assert len(train_loader) == 1
+    train_batches = list(train_loader)
+    assert len(train_batches) == 1
+    assert train_batches[0]["images"].shape[0] == 16
+
 
 @pytest.fixture(scope="module")
 def png_dir(tmp_path_factory):

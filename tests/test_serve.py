@@ -275,3 +275,90 @@ def test_promptable_sam_serving(tmp_path):
         assert status == 400
     finally:
         srv.stop()
+
+
+def test_register_unet3d_true_3d_model(tmp_path):
+    """A TRUE 3D model (is3d) serves 2D slices as depth-1 volumes over HTTP
+    (regression: the rank-4 server batch used to crash 3D conv stacks)."""
+    import jax
+
+    from mdeical_image_segmentation_tpu.models import get_model
+    from mdeical_image_segmentation_tpu.serve import ModelRegistry, SegmentationServer
+    from mdeical_image_segmentation_tpu.train import save_checkpoint
+
+    mc = {"name": "UNet3D", "in_channels": 1, "out_channels": 1, "f_maps": 8,
+          "num_levels": 2, "layer_order": "gcr"}
+    model = get_model(mc)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, 64, 64, 1)), False
+    )
+    save_checkpoint(
+        {"num_epochs": 0, "num_iterations": 0,
+         "model_state_dict": {"params": variables["params"], "batch_stats": {}},
+         "best_eval_score": 0.0, "optimizer_state_dict": {}},
+        is_best=True, checkpoint_dir=str(tmp_path / "ck"),
+    )
+    registry = ModelRegistry()
+    registry.register_unet3d(
+        "vol3d", str(tmp_path / "ck" / "best_checkpoint.msgpack"), mc,
+        resolution=64,
+    )
+    srv = SegmentationServer(registry, output_dir=str(tmp_path / "masks"))
+    httpd = srv.start(host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    try:
+        img = tmp_path / "img.png"
+        Image.fromarray(
+            (np.random.RandomState(0).rand(64, 64) * 255).astype(np.uint8)
+        ).save(img)
+        status, body = _post(port, {"image_path": str(img), "model": "vol3d"})
+        assert status == 200, body
+        assert os.path.exists(body["response"])
+    finally:
+        srv.stop()
+
+
+def test_multiclass_mask_is_argmax(tmp_path):
+    """out_channels > 1: the served mask is the argmax label map, not a
+    threshold of channel 0 (which is background)."""
+    from mdeical_image_segmentation_tpu.serve import ModelRegistry, SegmentationServer
+    from mdeical_image_segmentation_tpu.serve.app import ModelEntry
+
+    def fake_forward(x):  # (N, H, W, C_in) -> 3-class probs, class 2 wins
+        n, h, w, _ = x.shape
+        probs = np.zeros((n, h, w, 3), np.float32)
+        probs[..., 0] = 0.8  # background confidently high — the old
+        probs[..., 2] = 0.9  # threshold-on-channel-0 path returned all-1s
+        return probs
+
+    registry = ModelRegistry()
+    registry.register(ModelEntry(name="mc", forward=fake_forward,
+                                 in_channels=1, resolution=16), default=True)
+    srv = SegmentationServer(registry, output_dir=str(tmp_path / "masks"))
+    img = tmp_path / "img.png"
+    Image.fromarray(np.zeros((16, 16), np.uint8)).save(img)
+    out = srv.handle_predict({"image_path": str(img), "return": "mask"})
+    assert out["status"] == 200
+    mask = np.asarray(out["response"])
+    assert mask.shape == (16, 16)
+    assert (mask == 2).all()  # argmax label, not background threshold
+
+
+def test_prompt_coordinates_rescaled(tmp_path):
+    """Points/box in original-image pixel space are scaled into the model
+    frame when the image is resized."""
+    from mdeical_image_segmentation_tpu.serve import ModelRegistry, SegmentationServer
+    from mdeical_image_segmentation_tpu.serve.app import ModelEntry
+
+    registry = ModelRegistry()
+    entry = ModelEntry(name="p", forward=lambda x: x, in_channels=1,
+                       resolution=64, kind="promptable", max_points=4)
+    registry.register(entry, default=True)
+    srv = SegmentationServer(registry, output_dir=str(tmp_path / "m"))
+    pts, lbl, box = srv._build_prompts(
+        {"points": [[256, 128]], "box": [[0, 0], [512, 256]]},
+        entry, orig_hw=(256, 512),  # height 256, width 512
+    )
+    np.testing.assert_allclose(pts[0], [32.0, 32.0])  # x: *64/512, y: *64/256
+    np.testing.assert_allclose(box, [[0, 0], [64, 64]])
+    assert lbl[0] == 1 and lbl[1] == -1
