@@ -90,8 +90,6 @@ class AbstractHDF5Dataset(ConfigDataset):
                 self.weight_transform = None
             self._check_volume_sizes()
         else:
-            self.label = None
-            self.weight_map = None
             patch_shape = slice_builder_config.get("patch_shape")
             stride_shape = slice_builder_config.get("stride_shape")
             if sum(self.halo_shape) != 0 and patch_shape != stride_shape:

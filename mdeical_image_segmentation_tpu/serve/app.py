@@ -15,9 +15,11 @@ implements that goal:
   at high MXU utilization;
 - ``SegmentationServer``: a dependency-free stdlib ThreadingHTTPServer
   (FastAPI/uvicorn are not available in this environment) exposing:
-    POST /            {"image_path", "model"?, "return"?: "path"|"mask"}
-                      → {"response": <mask path or nested list>, "status",
-                         "time"} (reference response envelope parity)
+    POST /            {"image_path", "model"?,
+                       "return"?: "path"|"mask"|"png"}
+                      → {"response": <mask path, nested list, or base64 PNG
+                         of the raw label mask>, "status", "time"}
+                      (reference response envelope parity)
     GET  /models      registered model names
     GET  /stats       request count + latency percentiles (p50/p90/p99)
     GET  /health      liveness
@@ -120,8 +122,11 @@ class ModelRegistry:
         # HTTP requests are single 2D slices; a true-3D model needs enough
         # depth to survive its (num_levels - 1) depth-poolings, so the slice
         # is replicated to that minimal depth and the middle output slice is
-        # returned (pseudo-3D slice serving)
-        slice_depth = 2 ** (max(int(model_config.get("num_levels", 4)), 1) - 1)
+        # returned (pseudo-3D slice serving).  Depth comes from the BUILT
+        # model, not the raw config dict: the residual families default
+        # num_levels=5 while UNet3D defaults 4, so re-defaulting here would
+        # under-size the depth and crash the 4th pooling at request time.
+        slice_depth = 2 ** (max(int(model.num_levels), 1) - 1)
 
         @jax.jit
         def forward(x):
@@ -429,8 +434,22 @@ class SegmentationServer:
                 else:
                     mask = (probs[..., 0] > entry.threshold).astype(np.uint8)
 
-            if payload.get("return") == "mask":
+            ret_mode = payload.get("return")
+            if ret_mode == "mask":
                 response: Any = mask.tolist()
+            elif ret_mode == "png":
+                # lossless label mask as base64 PNG — ~100× smaller than the
+                # JSON nested-list encoding (a 512² float mask is megabytes
+                # of JSON; the PNG is a few KB), which round-2 profiling
+                # showed dominating the saturated engine's transfer cost
+                import base64
+                import io
+
+                from PIL import Image
+
+                buf = io.BytesIO()
+                Image.fromarray(mask.astype(np.uint8)).save(buf, format="PNG")
+                response = base64.b64encode(buf.getvalue()).decode("ascii")
             else:
                 from PIL import Image
 
@@ -440,8 +459,13 @@ class SegmentationServer:
                 )
                 # spread label values over the uint8 range (binary → 0/255;
                 # C-class argmax maps → 0, 255//(C-1), …, 255 — `mask*255`
-                # would overflow-wrap multi-class labels)
-                vis = mask * (255 // max(int(mask.max()), 1))
+                # would overflow-wrap multi-class labels).  The divisor is the
+                # model's fixed class count so a given label always maps to
+                # the same gray value regardless of which classes appear in
+                # this particular image; mask.max() is only the fallback when
+                # the class count isn't knowable from the probs tensor.
+                n_cls = probs.shape[-1] if probs.shape[-1] > 1 else 2
+                vis = mask * (255 // max(n_cls - 1, int(mask.max()), 1))
                 Image.fromarray(vis.astype(np.uint8)).save(mask_path)
                 response = mask_path
             elapsed = time.time() - start

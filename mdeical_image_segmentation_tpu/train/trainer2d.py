@@ -563,25 +563,46 @@ class Trainer:
             cb.on_evaluate(self.args, self.state, self.control, metrics)
         return metrics
 
+    _EVAL_LOADER_CACHE_MAX = 4
+
     def _eval_loader(self, dataset) -> BatchLoader:
         # cached per dataset: each BatchLoader owns a worker pool, and eval
         # runs twice per evaluate() — fresh loaders would leak num_workers
-        # threads per call over a long run
+        # threads per call over a long run.  A small LRU (dict insertion
+        # order) bounds the cache so ad-hoc evaluate(eval_dataset=...) calls
+        # with fresh dataset objects can't grow worker pools / pin datasets
+        # unboundedly; evicted loaders are closed.  close_loaders() is the
+        # explicit teardown.
         cache = getattr(self, "_eval_loader_cache", None)
         if cache is None:
             cache = self._eval_loader_cache = {}
         key = id(dataset)
-        if key not in cache:
-            cache[key] = BatchLoader(
-                dataset,
-                self.eval_batch,
-                shuffle=False,
-                collator=self.data_collator,
-                process_shard=self._process_shard,
-                num_workers=self.args.dataloader_num_workers,
-                prefetch=self.args.dataloader_prefetch,
+        if key in cache:
+            cache[key] = cache.pop(key)  # refresh LRU position
+        else:
+            while len(cache) >= self._EVAL_LOADER_CACHE_MAX:
+                _, old = cache.pop(next(iter(cache)))
+                old.close()
+            cache[key] = (
+                dataset,  # strong ref keeps id(dataset) valid while cached
+                BatchLoader(
+                    dataset,
+                    self.eval_batch,
+                    shuffle=False,
+                    collator=self.data_collator,
+                    process_shard=self._process_shard,
+                    num_workers=self.args.dataloader_num_workers,
+                    prefetch=self.args.dataloader_prefetch,
+                ),
             )
-        return cache[key]
+        return cache[key][1]
+
+    def close_loaders(self) -> None:
+        """Close all cached eval loaders (worker threads + pinned datasets)."""
+        cache = getattr(self, "_eval_loader_cache", None) or {}
+        for _, loader in cache.values():
+            loader.close()
+        cache.clear()
 
     def _evaluate_streaming(self, dataset) -> Dict[str, float]:
         """O(batch)-memory eval: per-batch sufficient statistics accumulated

@@ -102,6 +102,25 @@ def test_inline_mask(server, image_path):
     assert mask.shape == (64, 64)
 
 
+def test_inline_png_mask_matches_list_mask(server, image_path):
+    """'return': 'png' sends the raw label mask as base64 PNG — identical
+    content to the nested-list return at a fraction of the payload size."""
+    import base64
+    import io
+
+    _, port, _ = server
+    status, body = _post(port, {"image_path": image_path, "return": "png"})
+    assert status == 200
+    png_bytes = base64.b64decode(body["response"])
+    decoded = np.asarray(Image.open(io.BytesIO(png_bytes)))
+    assert decoded.shape == (64, 64)
+
+    status, body2 = _post(port, {"image_path": image_path, "return": "mask"})
+    np.testing.assert_array_equal(decoded, np.asarray(body2["response"]))
+    # the whole point: payload far smaller than the JSON list encoding
+    assert len(body["response"]) < len(json.dumps(body2["response"])) / 10
+
+
 def test_unknown_model_400(server, image_path):
     _, port, _ = server
     status, body = _post(port, {"image_path": image_path, "model": "nope"})
