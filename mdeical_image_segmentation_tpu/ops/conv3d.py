@@ -111,6 +111,178 @@ def slab_conv3d(
     return y
 
 
+def use_slab_transpose(kernel_size: Sequence[int], strides: Sequence[int]) -> bool:
+    """Whether a 3D *transposed* conv should take the slab path.
+
+    Same env contract as :func:`use_slab` (``TPUSEG_CONV3D``), but applies
+    to rank-3 transposed convs with any strides — the ResidualUNet3D
+    decoder geometry (k=3, stride 2, torch padding=1; reference
+    buildingblocks.py:674-729) lowers natively to an XLA 3D deconv, which
+    rides the same ≤9%-of-peak native 3D path the forward convs did before
+    the slab decomposition.
+    """
+    if len(kernel_size) != 3:
+        return False
+    mode = os.environ.get("TPUSEG_CONV3D", "auto")
+    if mode == "native":
+        return False
+    if mode == "slab":
+        return True
+    if mode != "auto":
+        raise ValueError(
+            f"TPUSEG_CONV3D={mode!r}: expected 'slab', 'native', or 'auto'"
+        )
+    return jax.default_backend() == "tpu"
+
+
+def _deconv_pads(padding: Any, ks: Tuple[int, ...], strides: Tuple[int, ...]):
+    """Per-dim dilated-frame (lo, hi) padding with ``lax.conv_transpose``
+    semantics: strings use its SAME/VALID formula; explicit pairs/ints pass
+    straight through to ``conv_general_dilated`` (NO k-1-p conversion —
+    that is how flax forwards them)."""
+    if isinstance(padding, str):
+        p = padding.upper()
+        out = []
+        for k, s in zip(ks, strides):
+            if p == "SAME":
+                pad_len = k + s - 2
+                pa = k - 1 if s > k - 1 else -(-pad_len // 2)
+            elif p == "VALID":
+                pad_len = k + s - 2 + max(k - s, 0)
+                pa = k - 1
+            else:
+                raise ValueError(
+                    f"unsupported padding {padding!r} for slab deconv"
+                )
+            out.append((pa, pad_len - pa))
+        return out
+    if isinstance(padding, int):
+        return [(padding, padding)] * len(ks)
+    return [
+        (p, p) if isinstance(p, int) else tuple(p) for p in padding
+    ]
+
+
+def slab_conv_transpose3d(
+    x: jax.Array,
+    kernel: jax.Array,
+    *,
+    strides: Tuple[int, int, int],
+    padding: Any,
+    precision: Any = None,
+) -> jax.Array:
+    """NDHWC transposed conv via kd per-depth-tap 2D transposed convs.
+
+    Exact (up to summation order) match of ``flax.linen.ConvTranspose``
+    (i.e. ``lax.conv_general_dilated`` with ``lhs_dilation=strides`` and
+    the unflipped kernel): depth tap ``κ`` of the kernel sends slab ``i``
+    of the input to raw output slot ``o = sd·i + (kd-1-κ)`` (raw = the
+    fully-padded (kd-1, kd-1) dilated frame), so the raw result
+    interleaves ``sd`` phases, each a shifted sum of the per-tap 2D
+    results; the requested dilated-frame depth padding is a final
+    crop/pad of the raw axis.  Each per-tap 2D transposed conv runs with
+    depth folded into the conv batch — the same fold that makes
+    :func:`slab_conv3d` ride XLA's fast 2D path.
+    """
+    n, d, h, w, ci = x.shape
+    kd, kh, kw = kernel.shape[:3]
+    sd, sh, sw = strides
+    (pd_a, pd_b), ph, pw = _deconv_pads(padding, (kd, kh, kw), strides)
+
+    xf = x.reshape(n * d, h, w, ci)
+    taps = []
+    for k in range(kd):
+        taps.append(
+            lax.conv_general_dilated(
+                xf,
+                kernel[k],
+                window_strides=(1, 1),
+                padding=(ph, pw),
+                lhs_dilation=(sh, sw),
+                dimension_numbers=_DN2,
+                precision=precision,
+            )
+        )
+    ho, wo = taps[0].shape[1], taps[0].shape[2]
+    co = kernel.shape[-1]
+    taps = [t.reshape(n, d, ho, wo, co) for t in taps]
+
+    raw_depth = (d - 1) * sd + kd
+    slots = -(-raw_depth // sd)  # per-phase slot count (ceil)
+    phases = []
+    for k in range(kd):
+        shift = kd - 1 - k  # raw offset this tap lands at
+        r = shift % sd
+        while len(phases) < sd:
+            phases.append(None)
+        lead = shift // sd
+        t = taps[k]
+        if lead or slots != d:
+            t = jnp.pad(
+                t,
+                ((0, 0), (lead, max(slots - d - lead, 0)), (0, 0),
+                 (0, 0), (0, 0)),
+            )[:, :slots]
+        phases[r] = t if phases[r] is None else phases[r] + t
+    phases = [
+        p if p is not None
+        else jnp.zeros((n, slots, ho, wo, co), taps[0].dtype)
+        for p in phases
+    ]
+
+    y = jnp.stack(phases, axis=2)  # (N, slots, sd, Ho, Wo, C)
+    y = y.reshape(n, slots * sd, ho, wo, co)[:, :raw_depth]
+    # raw frame has (kd-1, kd-1) dilated padding; adjust to the requested
+    # (pd_a, pd_b): crop when under, zero-pad when over (strides > kernel)
+    lo, hi = (kd - 1) - pd_a, (kd - 1) - pd_b
+    if lo < 0 or hi < 0:
+        y = jnp.pad(
+            y,
+            ((0, 0), (max(-lo, 0), max(-hi, 0)), (0, 0), (0, 0), (0, 0)),
+        )
+        lo, hi = max(lo, 0), max(hi, 0)
+    return y[:, lo:y.shape[1] - hi if hi else None]
+
+
+class SlabConvTranspose3D(nn.Module):
+    """Param-tree-compatible stand-in for ``nn.ConvTranspose`` (rank-3).
+
+    Same ``kernel`` param (shape ``(kd, kh, kw, Ci, Co)``, same name/init)
+    as the ``nn.ConvTranspose`` it replaces, so checkpoints and
+    torch-parity imports are unaffected; only the lowering differs.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int, int]
+    strides: Tuple[int, int, int] = (2, 2, 2)
+    padding: Any = "SAME"
+    use_bias: bool = False
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ci = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, tuple(self.kernel_size) + (ci, self.features)
+        )
+        bias = (
+            self.param("bias", self.bias_init, (self.features,))
+            if self.use_bias
+            else None
+        )
+        x, kernel, bias = flax_dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype
+        )
+        y = slab_conv_transpose3d(
+            x, kernel, strides=tuple(self.strides), padding=self.padding
+        )
+        if bias is not None:
+            y = y + bias
+        return y
+
+
 class SlabConv3D(nn.Module):
     """Param-tree-compatible stand-in for ``nn.Conv`` with a rank-3 kernel.
 

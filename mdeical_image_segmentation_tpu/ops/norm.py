@@ -34,6 +34,7 @@ model/unet3d/buildingblocks.py:81-90 uses torch nn.GroupNorm).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 from typing import Any, Optional
@@ -75,6 +76,101 @@ def _per_channel(stat: jax.Array, cg: int, x_ndim: int) -> jax.Array:
     c = stat.shape[1] * cg
     out = jnp.repeat(stat, cg, axis=-1)
     return out.reshape((n,) + (1,) * (x_ndim - 2) + (c,))
+
+
+# ---------------------------------------------------------------------------
+# Cross-shard (spatially-sharded) statistics mode
+# ---------------------------------------------------------------------------
+#
+# Under spatial sharding (parallel/spatial.py) each device sees a
+# halo-extended slab of one volume; the default GroupNorm then computes
+# per-slab statistics — patch semantics.  With the context below active,
+# GroupNorm instead psums the per-group sufficient statistics across the
+# spatial mesh axis, with each shard contributing only its INTERIOR rows
+# (halo rows are duplicates of neighbor interiors, and edge-shard halos are
+# reflect-pads), so every volume row is counted exactly once and the
+# statistics equal the global ones — sharded == the monolithic patch
+# forward for normalized layer orders, independent of the mesh width.
+#
+# The cross-shard path is a plain autodiff-able jnp+psum implementation (no
+# custom VJP, no pallas): `lax.psum` inside shard_map transposes correctly,
+# so the backward gets the exact cross-shard statistic gradients for free.
+
+_CROSS_SHARD_CTX: Optional[dict] = None
+
+
+@contextlib.contextmanager
+def cross_shard_group_stats(
+    axis_name: str, shard_axis: int, halo: int, padded_extent: int
+):
+    """Trace-time switch: GroupNorms applied inside this context psum their
+    statistics over ``axis_name`` (mask = interior rows of ``shard_axis``,
+    whose halo-padded extent at model input is ``padded_extent``)."""
+    global _CROSS_SHARD_CTX
+    prev = _CROSS_SHARD_CTX
+    _CROSS_SHARD_CTX = dict(
+        axis_name=axis_name, shard_axis=shard_axis, halo=halo,
+        padded_extent=padded_extent,
+    )
+    try:
+        yield
+    finally:
+        _CROSS_SHARD_CTX = prev
+
+
+def _cross_shard_group_norm(
+    x, scale, bias, num_groups, eps, *, axis_name, shard_axis, halo,
+    padded_extent,
+):
+    n, c = x.shape[0], x.shape[-1]
+    cg = c // num_groups
+    e = x.shape[shard_axis]
+    if padded_extent % e:
+        raise ValueError(
+            f"GroupNorm site extent {e} does not divide the halo-padded "
+            f"input extent {padded_extent} along shard axis {shard_axis}"
+        )
+    f = padded_extent // e
+    if halo % f:
+        raise ValueError(
+            f"halo {halo} not divisible by the pooling factor {f} at a "
+            f"GroupNorm site — choose a halo divisible by "
+            f"2**(num_levels - 1) for cross-shard statistics"
+        )
+    lh = halo // f
+    if e - 2 * lh <= 0:
+        raise ValueError(
+            f"halo {lh} leaves no interior rows at GroupNorm extent {e}"
+        )
+
+    # interior-row mask along the shard axis, broadcast against x
+    iota_shape = tuple(e if a == shard_axis else 1 for a in range(x.ndim))
+    idx = lax.broadcasted_iota(jnp.int32, iota_shape, shard_axis)
+    mask = ((idx >= lh) & (idx < e - lh)).astype(jnp.float32)
+
+    axes = _spatial_axes(x)
+    m_local = float(
+        np.prod([x.shape[a] for a in axes if a != shard_axis])
+        * (e - 2 * lh) * cg
+    )
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf * mask, axis=axes)  # (N, C)
+    s2 = jnp.sum(jnp.square(xf) * mask, axis=axes)  # (N, C)
+    gs1 = jnp.sum(s1.reshape(n, num_groups, cg), axis=-1)
+    gs2 = jnp.sum(s2.reshape(n, num_groups, cg), axis=-1)
+    gs1 = lax.psum(gs1, axis_name)
+    gs2 = lax.psum(gs2, axis_name)
+    m = m_local * jax.lax.axis_size(axis_name)
+    mean = gs1 / m
+    var = jnp.maximum(0.0, gs2 / m - jnp.square(mean))
+    inv = lax.rsqrt(var + eps)
+
+    mean_c = _per_channel(mean, cg, x.ndim)
+    inv_c = _per_channel(inv, cg, x.ndim)
+    y = (xf - mean_c) * inv_c * scale.astype(jnp.float32) + bias.astype(
+        jnp.float32
+    )
+    return y.astype(x.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -220,6 +316,13 @@ def _gn_mode(x: jax.Array) -> str:
     ~7 ms of extra relayout around the conv boundaries.  Override with
     TPUSEG_GN_MODE.  TPUSEG_NO_PALLAS_GN=1 is a hard kill-switch (same as
     mode 'xla')."""
+    # validate the env knob before any backend/shape early-return so a typo
+    # fails fast on every platform (same strictness contract as TPUSEG_CONV3D)
+    mode = os.environ.get("TPUSEG_GN_MODE", "hybrid")
+    if mode not in ("full", "hybrid", "xla"):
+        raise ValueError(
+            f"TPUSEG_GN_MODE={mode!r}: expected 'full', 'hybrid', or 'xla'"
+        )
     if os.environ.get("TPUSEG_NO_PALLAS_GN"):
         return "xla"
     if jax.default_backend() != "tpu" or x.ndim != 5:
@@ -227,11 +330,6 @@ def _gn_mode(x: jax.Array) -> str:
     _, d, h, w, c = x.shape
     if _pick_bh(h, w * c, x.dtype.itemsize) is None:
         return "xla"
-    mode = os.environ.get("TPUSEG_GN_MODE", "hybrid")
-    if mode not in ("full", "hybrid", "xla"):
-        raise ValueError(
-            f"TPUSEG_GN_MODE={mode!r}: expected 'full', 'hybrid', or 'xla'"
-        )
     return mode
 
 
@@ -476,6 +574,11 @@ class GroupNorm(nn.Module):
     ``dtype`` controls the output dtype exactly like flax's
     (canonicalize(x, params, dtype=dtype)); internal full-tensor traffic
     stays in ``x.dtype`` either way.
+
+    DELIBERATE default difference: ``epsilon`` defaults to 1e-5 (torch's
+    ``nn.GroupNorm`` default — the parity target, reference
+    buildingblocks.py:81-86), not flax's 1e-6.  Pass ``epsilon=1e-6``
+    explicitly if flax-default numerics are wanted.
     """
 
     num_groups: int = 32
@@ -485,14 +588,21 @@ class GroupNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         c = x.shape[-1]
-        assert c % self.num_groups == 0, (
-            f"channels {c} not divisible by num_groups {self.num_groups}"
-        )
+        if c % self.num_groups != 0:
+            raise ValueError(
+                f"channels {c} not divisible by num_groups {self.num_groups}"
+            )
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         if self.dtype is None:
             out_dtype = jnp.result_type(x.dtype, scale.dtype, bias.dtype)
         else:
             out_dtype = self.dtype
-        y = group_norm(x, scale, bias, self.num_groups, self.epsilon)
+        if _CROSS_SHARD_CTX is not None:
+            y = _cross_shard_group_norm(
+                x, scale, bias, self.num_groups, self.epsilon,
+                **_CROSS_SHARD_CTX,
+            )
+        else:
+            y = group_norm(x, scale, bias, self.num_groups, self.epsilon)
         return y.astype(out_dtype)

@@ -79,11 +79,20 @@ def spatial_sharded_apply(
     halo: int,
     shard_axis: int = 2,  # H for 3D volumes (axis after N, D)
     axis_name: str = DATA_AXIS,
+    cross_shard_norm: bool = False,
 ) -> jax.Array:
     """Forward a single large volume sharded along one spatial axis.
 
     The volume's ``shard_axis`` extent must divide evenly by the mesh axis
     size, and ``halo`` must not exceed the per-shard extent.
+
+    ``cross_shard_norm=True`` makes every GroupNorm psum its statistics
+    across the mesh axis (interior rows only, each volume row counted
+    exactly once — ops/norm.py ``cross_shard_group_stats``), so normalized
+    layer orders like the 3D default 'gcr' produce the same result for ANY
+    mesh width (including the single-device emulation); the default keeps
+    per-shard statistics (the reference's patch semantics).  Requires
+    ``halo`` divisible by ``2**(num_levels - 1)``.
     """
     n_shards = mesh.shape[axis_name]
     extent = volume.shape[shard_axis]
@@ -102,7 +111,15 @@ def spatial_sharded_apply(
 
     def per_shard(variables, x):
         x = _halo_exchange(x, halo, shard_axis, axis_name)
-        out = model.apply(variables, x, False)
+        if cross_shard_norm:
+            from ..ops.norm import cross_shard_group_stats
+
+            with cross_shard_group_stats(
+                axis_name, shard_axis, halo, x.shape[shard_axis]
+            ):
+                out = model.apply(variables, x, False)
+        else:
+            out = model.apply(variables, x, False)
         slicer = [slice(None)] * out.ndim
         slicer[shard_axis] = slice(halo, -halo)
         return out[tuple(slicer)]
@@ -134,6 +151,7 @@ def make_spatial_train_step(
     axis_name: str = DATA_AXIS,
     train: bool = True,
     donate: bool = True,
+    cross_shard_norm: bool = False,
 ):
     """Build a jitted SPMD train step over ONE spatially-sharded volume.
 
@@ -152,7 +170,11 @@ def make_spatial_train_step(
     volumes to the trainer: reference dataset/unet3d_dataset/hdf5.py +
     train/unet3d_train/trainer.py), with the halo supplying the
     cross-boundary context those patches lack.  Normalization statistics
-    are per-shard, matching the same patch-training semantics.
+    are per-shard by default, matching the same patch-training semantics;
+    ``cross_shard_norm=True`` psums GroupNorm statistics across the mesh
+    axis instead, making the sharded step mesh-width-invariant (exact for
+    normalized orders like the 3D default 'gcr'; needs ``halo`` divisible
+    by ``2**(num_levels - 1)``).
 
     Dropout: each shard folds ``lax.axis_index`` into the step rng, so
     masks are independent across shards (like independent patches).
@@ -168,7 +190,15 @@ def make_spatial_train_step(
         def loss_fn(p):
             xh = _halo_exchange(x, halo, shard_axis, axis_name)
             kwargs = {"rngs": {"dropout": rng}} if train else {}
-            out = model.apply({"params": p}, xh, train, **kwargs)
+            if cross_shard_norm:
+                from ..ops.norm import cross_shard_group_stats
+
+                with cross_shard_group_stats(
+                    axis_name, shard_axis, halo, xh.shape[shard_axis]
+                ):
+                    out = model.apply({"params": p}, xh, train, **kwargs)
+            else:
+                out = model.apply({"params": p}, xh, train, **kwargs)
             slicer = [slice(None)] * out.ndim
             slicer[shard_axis] = slice(halo, -halo)
             return criterion(out[tuple(slicer)], y)

@@ -102,6 +102,9 @@ def create_trainer(config: Dict[str, Any]) -> "UNetTrainer":
         tensor_parallel=bool(par_cfg.get("tensor_parallel", False)),
         spatial_halo=par_cfg.get("spatial_halo"),
         spatial_shard_axis=int(par_cfg.get("spatial_shard_axis", 2)),
+        spatial_cross_shard_norm=bool(
+            par_cfg.get("spatial_cross_shard_norm", False)
+        ),
         **trainer_config,
     )
 
@@ -134,6 +137,7 @@ class UNetTrainer:
         tensor_parallel: bool = False,
         spatial_halo: Optional[int] = None,
         spatial_shard_axis: int = 2,
+        spatial_cross_shard_norm: bool = False,
         **kwargs,
     ):
         self.model = model
@@ -156,10 +160,13 @@ class UNetTrainer:
         # spatial training (``parallel.spatial_halo``): each batch is ONE
         # spatially-sharded volume over the data axis, conv halos exchanged
         # via ppermute (parallel/spatial.py) — for volumes too large per
-        # device.  GroupNorm statistics are per-shard (the same per-patch
-        # semantics the reference's SliceBuilder training already has).
+        # device.  GroupNorm statistics are per-shard by default (the same
+        # per-patch semantics the reference's SliceBuilder training already
+        # has); ``parallel.spatial_cross_shard_norm: true`` psums them
+        # across the mesh axis for mesh-width-exact 'gcr' training.
         self.spatial_halo = int(spatial_halo) if spatial_halo else None
         self.spatial_shard_axis = int(spatial_shard_axis)
+        self.spatial_cross_shard_norm = bool(spatial_cross_shard_norm)
         assert not (self.spatial_halo and self.tensor_parallel), (
             "spatial_halo and tensor_parallel are mutually exclusive"
         )
@@ -423,6 +430,7 @@ class UNetTrainer:
             self._spatial_step = make_spatial_train_step(
                 self.model, loss_criterion, optimizer, self.mesh,
                 halo=self.spatial_halo, shard_axis=self.spatial_shard_axis,
+                cross_shard_norm=self.spatial_cross_shard_norm,
             )
 
     # -- loop ---------------------------------------------------------------

@@ -134,6 +134,94 @@ def test_strided_and_2d_convs_stay_native():
     assert not conv3d.use_slab((3, 3, 3), (2, 2, 2))
 
 
+# ---------------------------------------------------------------------------
+# slab ConvTranspose3D (ResidualUNet3D decoder geometry)
+# ---------------------------------------------------------------------------
+
+
+def _flax_deconv(x, w, strides, padding):
+    import flax.linen as nn
+
+    mod = nn.ConvTranspose(
+        features=w.shape[-1], kernel_size=w.shape[:3], strides=strides,
+        padding=padding, use_bias=False,
+    )
+    return mod.apply({"params": {"kernel": w}}, x)
+
+
+@pytest.mark.parametrize(
+    "kshape,strides,padding,inshape",
+    [
+        # the family geometry: k=3, stride 2, torch padding=1
+        ((3, 3, 3, 4, 6), (2, 2, 2), [(1, 1)] * 3, (2, 4, 5, 6, 4)),
+        # odd/mixed sizes and depth-1 edge case
+        ((3, 3, 3, 2, 3), (2, 2, 2), [(1, 1)] * 3, (1, 1, 3, 3, 2)),
+        ((3, 3, 3, 2, 3), (2, 2, 2), [(1, 1)] * 3, (1, 7, 2, 9, 2)),
+        # other paddings/strides the lowering claims to support
+        ((3, 3, 3, 2, 3), (2, 2, 2), "SAME", (1, 4, 4, 4, 2)),
+        ((2, 2, 2, 2, 3), (2, 2, 2), [(0, 0)] * 3, (1, 3, 4, 4, 2)),
+        ((3, 3, 3, 2, 3), (1, 2, 2), [(1, 1)] * 3, (1, 4, 4, 4, 2)),
+        ((3, 3, 3, 2, 3), (3, 2, 2), [(1, 1)] * 3, (1, 4, 4, 4, 2)),
+    ],
+)
+def test_transpose_matches_flax(kshape, strides, padding, inshape):
+    x = _rand(inshape)
+    w = _rand(kshape, seed=1) * 0.1
+    got = conv3d.slab_conv_transpose3d(x, w, strides=strides, padding=padding)
+    want = _flax_deconv(x, w, strides, padding)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_transpose_gradients_match_flax():
+    x = _rand((1, 3, 4, 4, 3))
+    w = _rand((3, 3, 3, 3, 5), seed=2) * 0.1
+    pad = [(1, 1)] * 3
+
+    def f_slab(x, w):
+        return jnp.sum(jnp.square(conv3d.slab_conv_transpose3d(
+            x, w, strides=(2, 2, 2), padding=pad)))
+
+    def f_nat(x, w):
+        return jnp.sum(jnp.square(_flax_deconv(x, w, (2, 2, 2), pad)))
+
+    gx1, gw1 = jax.grad(f_slab, argnums=(0, 1))(x, w)
+    gx2, gw2 = jax.grad(f_nat, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(gx1, gx2, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(gw1, gw2, rtol=1e-4, atol=1e-4)
+
+
+def test_residual_unet3d_output_unchanged_under_slab():
+    """Whole-model check for the deconv family: ResidualUNet3D forward is
+    unchanged (to fp32 tolerance) when the slab lowerings are forced."""
+    from mdeical_image_segmentation_tpu.models import get_model
+
+    cfg = {"name": "ResidualUNet3D", "in_channels": 1, "out_channels": 2,
+           "f_maps": 16, "num_levels": 2, "layer_order": "gcr"}
+    x = _rand((1, 8, 16, 16, 1))
+
+    old = os.environ.pop("TPUSEG_CONV3D", None)
+    try:
+        os.environ["TPUSEG_CONV3D"] = "native"
+        model = get_model(dict(cfg))
+        v = model.init(jax.random.PRNGKey(0), x, False)
+        y_nat = model.apply(v, x, False)
+        os.environ["TPUSEG_CONV3D"] = "slab"
+        v_slab = model.init(jax.random.PRNGKey(0), x, False)
+        y_slab = model.apply(v_slab, x, False)
+    finally:
+        if old is None:
+            os.environ.pop("TPUSEG_CONV3D", None)
+        else:
+            os.environ["TPUSEG_CONV3D"] = old
+
+    # identical param trees (names + shapes) so checkpoints interchange
+    assert jax.tree_util.tree_map(np.shape, v_slab) == (
+        jax.tree_util.tree_map(np.shape, v)
+    )
+    np.testing.assert_allclose(y_slab, y_nat, rtol=2e-4, atol=2e-4)
+
+
 def test_slab_conv_under_data_parallel_jit():
     """The (N, D, …) → (N·D, …) reshape merges a data-sharded batch dim;
     GSPMD must compile and match the unsharded result on the 8-device mesh."""

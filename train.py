@@ -143,6 +143,14 @@ def main():
     )
     trainer.train()
     print(trainer.evaluate())
+    # Final HF-style bundle (config.json + params.msgpack) so a finished run
+    # is directly servable (serve.app ModelRegistry.register_unet2d) without
+    # digging out a step checkpoint — the reference relies on the HF
+    # Trainer's save_steps checkpoints only (train.py:114-160).
+    bundle_dir = os.path.join(output_dir, "final")
+    trainer.save_model(bundle_dir)
+    print(f"saved model bundle to {bundle_dir}")
+    return output_dir
 
 
 if __name__ == "__main__":
