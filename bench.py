@@ -71,14 +71,17 @@ def bench_unet2d(base_features: int, batch: int, res: int = 256, steps: int = 60
 
 
 def bench_unet3d(f_maps: int = 32, batch: int = 2, patch=(64, 128, 128),
-                 steps: int = 20):
-    """3D patches/sec/chip (BASELINE metric #2): UNet3D 'gcr' train step."""
+                 steps: int = 20, name: str = "UNet3D", num_levels: int = 4):
+    """3D patches/sec/chip (BASELINE metric #2): 'gcr' train step.
+
+    ``name``/``num_levels`` select the family member — ResidualUNet3D
+    (5 levels, deconv decoders) rides the slab ConvTranspose3D lowering."""
     from mdeical_image_segmentation_tpu.losses import BCEDiceLoss
     from mdeical_image_segmentation_tpu.models import get_model
 
     model = get_model(
-        {"name": "UNet3D", "in_channels": 1, "out_channels": 1,
-         "f_maps": f_maps, "num_levels": 4, "layer_order": "gcr",
+        {"name": name, "in_channels": 1, "out_channels": 1,
+         "f_maps": f_maps, "num_levels": num_levels, "layer_order": "gcr",
          "dtype": jnp.bfloat16}
     )
     criterion = BCEDiceLoss()
@@ -168,7 +171,7 @@ def main():
 
     # Extras stop when the remaining budget runs out (remote-compile latency
     # in this environment is variable); the headline metric always runs.
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", 480))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 650))
 
     device = jax.devices()[0]
     # chip-claim barrier: tunnel claims vary 15 s - 20 min and would
@@ -192,6 +195,8 @@ def main():
     ref_config = extra(bench_unet3plus)
     vol = extra(bench_unet3d)  # BASELINE metric #2
     vol64 = extra(bench_unet3d, f_maps=64, batch=1, steps=15)  # ref width
+    resid = extra(bench_unet3d, name="ResidualUNet3D", num_levels=5,
+                  steps=15)  # deconv decoder family (slab ConvTranspose3D)
     fast = extra(bench_unet2d, base_features=16, batch=128, steps=20)
 
     value = round(headline["slices_per_sec"], 1)
@@ -210,6 +215,7 @@ def main():
                     "unet3plus_512px_reference_config_remat": ref_config,
                     "unet3d_fmaps32_64x128x128": vol,
                     "unet3d_fmaps64_ref_width_64x128x128": vol64,
+                    "residual_unet3d_fmaps32_64x128x128": resid,
                 },
             }
         )

@@ -40,6 +40,44 @@ def _ktuple(k: IntOrTuple, nsp: int) -> Tuple[int, ...]:
     return (k,) * nsp if isinstance(k, int) else tuple(k)
 
 
+class _GNParamHolder(nn.Module):
+    """Owns GroupNorm's params without running it — the fused 'gcr' path
+    (ops/fused_conv.py) needs the raw (scale, bias) but the param tree must
+    stay byte-identical to the unfused ``GroupNorm_0`` scope."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return scale, bias
+
+
+class _ConvKernelLeaf(nn.Module):
+    shape: Tuple[int, ...]
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", self.kernel_init, self.shape)
+
+
+class _ConvParamHolder(nn.Module):
+    """Mirrors ``TorchConv_0/Conv_0/kernel`` (no bias — norm orders)."""
+
+    shape: Tuple[int, ...]
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self):
+        return _ConvKernelLeaf(self.shape, self.kernel_init, name="Conv_0")()
+
+
 class SingleConv(nn.Module):
     """Order-string conv layer (reference SingleConv, buildingblocks.py:117-160)."""
 
@@ -67,6 +105,45 @@ class SingleConv(nn.Module):
         else:
             pad = [(p, p) for p in pad]
         use_bias = not ("g" in order or "b" in order)
+
+        # fused 'gcr' fast path (ops/fused_conv.py): GroupNorm-apply + conv
+        # + ReLU in one Pallas kernel, the normalized tensor never touching
+        # HBM.  Param tree (GroupNorm_0/{scale,bias},
+        # TorchConv_0/Conv_0/kernel) is identical to the unfused path below,
+        # so checkpoints/torch imports are unaffected.
+        if (
+            order == "gcr"
+            and self.is3d
+            and x.ndim == 5
+            and ks == (3, 3, 3)
+            and pad == [(1, 1)] * 3
+        ):
+            from ..ops import fused_conv as _fc
+
+            c_in = x.shape[-1]
+            groups = 1 if c_in < self.num_groups else self.num_groups
+            mode = (
+                _fc.fused_gcr_mode(x.shape, x.dtype, c_in, self.out_channels)
+                if c_in % groups == 0
+                else None
+            )
+            if mode is not None:
+                from flax.linen import dtypes as flax_dtypes
+
+                from .layers2d import _resolve_kernel_init
+
+                scale, bias = _GNParamHolder(c_in, name="GroupNorm_0")()
+                kernel = _ConvParamHolder(
+                    ks + (c_in, self.out_channels),
+                    _resolve_kernel_init("torch_default"),
+                    name="TorchConv_0",
+                )()
+                x, kernel = flax_dtypes.promote_dtype(
+                    x, kernel, dtype=self.dtype
+                )
+                return _fc.gcr_fused_conv(
+                    x, scale, bias, kernel, groups, 1e-5, mode
+                )
 
         for i, char in enumerate(order):
             if char == "r":
@@ -305,21 +382,35 @@ class TransposeConvUpsampling(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, output_size: Sequence[int]) -> jax.Array:
+        from ..ops.conv3d import SlabConvTranspose3D, use_slab_transpose
+
         nsp = 3 if self.is3d else 2
         ks = _ktuple(self.kernel_size, nsp)
         strides = _ktuple(self.scale_factor, nsp)
         pad = tuple((k - 1 - 1,) * 2 for k in ks)  # torch padding=1
-        x = nn.ConvTranspose(
-            features=self.out_channels,
-            kernel_size=ks,
-            strides=strides,
-            padding=pad,
-            use_bias=False,
-            kernel_init=jax.nn.initializers.variance_scaling(
-                1.0 / 3.0, "fan_in", "uniform"
-            ),  # torch ConvTranspose default (kaiming uniform a=sqrt(5))
-            dtype=self.dtype,
-        )(x)
+        kinit = jax.nn.initializers.variance_scaling(
+            1.0 / 3.0, "fan_in", "uniform"
+        )  # torch ConvTranspose default (kaiming uniform a=sqrt(5))
+        if use_slab_transpose(ks, strides):
+            # depth-axis hand-lowering of the 3D deconv (ops/conv3d.py):
+            # same params/name as nn.ConvTranspose, ~identical math, but
+            # rides XLA's 2D conv path on TPU instead of the slow native
+            # 3D deconv lowering
+            x = SlabConvTranspose3D(
+                features=self.out_channels, kernel_size=ks, strides=strides,
+                padding=pad, use_bias=False, kernel_init=kinit,
+                dtype=self.dtype, name="ConvTranspose_0",
+            )(x)
+        else:
+            x = nn.ConvTranspose(
+                features=self.out_channels,
+                kernel_size=ks,
+                strides=strides,
+                padding=pad,
+                use_bias=False,
+                kernel_init=kinit,
+                dtype=self.dtype,
+            )(x)
         return interpolate_nearest_nd(x, output_size)
 
 

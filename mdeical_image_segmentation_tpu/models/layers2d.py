@@ -197,15 +197,67 @@ class UNetConv2(nn.Module):
         return x
 
 
+class _ConvKBLeaf(nn.Module):
+    shape: Tuple[int, ...]
+    kernel_init: Callable
+    bias_init: Callable
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init, self.shape)
+        b = self.param("bias", self.bias_init, (self.shape[-1],))
+        return k, b
+
+
+class _ConvKBHolder(nn.Module):
+    """Owns ``Conv_0/{kernel,bias}`` without running the conv — the fused
+    DoubleConv path needs the raw params but the tree must stay identical
+    to the ``TorchConv_k`` scopes of the unfused path."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        fan_in = math.prod(self.shape[:-1])
+        return _ConvKBLeaf(
+            self.shape,
+            _resolve_kernel_init("torch_default"),
+            tinit.torch_conv_default_bias(fan_in),
+            name="Conv_0",
+        )()
+
+
 class DoubleConvolution(nn.Module):
     """2 × (conv3x3 + ReLU), torch-default init (classic UNet never calls
-    init_weights on these); reference layers.py:103-133."""
+    init_weights on these); reference layers.py:103-133.
+
+    On TPU (when the plane fits VMEM) the pair runs as ONE Pallas kernel
+    (ops/fused_conv.py ``double_conv2d``) with the intermediate activation
+    resident in VMEM between the convs — param tree unchanged."""
 
     features: int
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from flax.linen import dtypes as flax_dtypes
+
+        from ..ops import fused_conv as _fc
+
+        ci = x.shape[-1]
+        cdtype = self.dtype or x.dtype
+        mode = _fc.fused_double2d_mode(
+            x.shape, cdtype, ci, self.features, self.features
+        )
+        if mode is not None:
+            w1, b1 = _ConvKBHolder(
+                (3, 3, ci, self.features), name="TorchConv_0")()
+            w2, b2 = _ConvKBHolder(
+                (3, 3, self.features, self.features), name="TorchConv_1")()
+            x, w1, b1, w2, b2 = flax_dtypes.promote_dtype(
+                x, w1, b1, w2, b2, dtype=self.dtype
+            )
+            return _fc.double_conv2d(x, w1, b1, w2, b2, mode)
         x = nn.relu(TorchConv(self.features, (3, 3), dtype=self.dtype)(x))
         x = nn.relu(TorchConv(self.features, (3, 3), dtype=self.dtype)(x))
         return x

@@ -155,17 +155,24 @@ def overlap_add_into(
     starts: jax.Array,
     valid: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Backend-dispatching accumulate (pallas on TPU, XLA elsewhere).
+    """Backend-dispatching accumulate.
 
-    ``TPUSEG_NO_PALLAS_OVERLAP=1`` forces the XLA path — the escape hatch
-    for environments whose pallas compile path is unavailable (e.g. a
-    remote-compile service that cannot build DMA kernels)."""
+    The XLA ``fori_loop`` + ``dynamic_update_slice`` accumulate is the
+    DEFAULT everywhere (round-3 decision): this environment's TPU
+    remote-compile service has rejected the DMA kernel in two consecutive
+    rounds, so the shipped default and the tested behavior now coincide.
+    ``TPUSEG_PALLAS_OVERLAP=1`` opts back into the pallas kernel on TPU
+    (kept for locally-attached chips whose toolchain builds DMA kernels;
+    the predictor still auto-falls-back if the compile fails).
+    ``TPUSEG_NO_PALLAS_OVERLAP=1`` (the old kill-switch) keeps forcing
+    XLA and overrides the opt-in."""
     import os
 
     if valid is None:
         valid = jnp.ones((patches.shape[0],), jnp.float32)
     if (
         jax.default_backend() == "tpu"
+        and os.environ.get("TPUSEG_PALLAS_OVERLAP") == "1"
         and not os.environ.get("TPUSEG_NO_PALLAS_OVERLAP")
     ):
         return overlap_add_into_pallas(acc, cnt, patches, starts, valid)
