@@ -92,22 +92,27 @@ def post(port, payload, timeout=120):
         return json.loads(r.read())
 
 
-def sweep(port, image_path, concurrency, requests_per_client):
-    lats, errs = [], [0]
+def sweep(port, image_path, concurrency, requests_per_client,
+          ret_mode="path"):
+    lats, errs, sizes = [], [0], []
     lock = threading.Lock()
 
     def client():
         for _ in range(requests_per_client):
             t0 = time.perf_counter()
             try:
-                out = post(port, {"image_path": image_path, "return": "path"})
+                out = post(port, {"image_path": image_path,
+                                  "return": ret_mode})
                 ok = out.get("status") == 200
+                size = len(json.dumps(out.get("response", "")))
             except Exception:
                 ok = False
+                size = 0
             dt = time.perf_counter() - t0
             with lock:
                 if ok:
                     lats.append(dt)
+                    sizes.append(size)
                 else:
                     errs[0] += 1
 
@@ -129,6 +134,7 @@ def sweep(port, image_path, concurrency, requests_per_client):
         "p90_ms": round(pct(90), 1),
         "p99_ms": round(pct(99), 1),
         "req_per_sec": round(n / wall, 2),
+        "avg_payload_bytes": int(np.mean(sizes)) if sizes else 0,
     }
 
 
@@ -159,6 +165,13 @@ def main():
         r["avg_batch_occupancy"] = round(dr / db, 2) if db else 0.0
         occ0 = occ1
         log(f"concurrency_{c}", r)
+
+    # return-mode comparison at saturation (round-3 item: the JSON
+    # nested-list mask dominates response payloads; base64 PNG cuts it
+    # ~100x — measure all three on the same setup)
+    for mode in ("path", "mask", "png"):
+        r = sweep(port, img_path, 8, 8, ret_mode=mode)
+        log(f"retmode_{mode}_c8", r)
 
     log("server_stats", json.loads(
         urllib.request.urlopen(f"http://127.0.0.1:{port}/stats").read()
