@@ -205,6 +205,20 @@ def interpolate_nearest_nd(x: jax.Array, out_spatial: Sequence[int]) -> jax.Arra
         in_size = y.shape[axis]
         if in_size == out_size:
             continue
+        if out_size % in_size == 0:
+            # integer-factor upsample: nearest indices are exactly
+            # floor(o·in/out) = o // k, i.e. each element repeated k times —
+            # a broadcast+reshape, whose transpose is a cheap reshape-sum.
+            # The gather form's transpose is a scatter-add: measured on v5e
+            # (scripts/tpu_r3_session.py POOL=1, ×2 on the largest 3D
+            # decoder level) fwd+bwd 6.38 ms gather vs 1.59 ms repeat.
+            k = out_size // in_size
+            shape = list(y.shape)
+            y = jnp.broadcast_to(
+                jnp.expand_dims(y, axis + 1),
+                shape[:axis + 1] + [k] + shape[axis + 1:],
+            ).reshape(shape[:axis] + [out_size] + shape[axis + 1:])
+            continue
         idx = jnp.asarray(_nearest_resize_index(in_size, out_size))
         y = jnp.take(y, idx, axis=axis)
     return y

@@ -223,12 +223,100 @@ def phase_fused2d():
     os.environ["TPUSEG_FUSED_CONV"] = "off"
 
 
+def _time_fn(name, fn, *args, steps=30):
+    try:
+        jfn = jax.jit(fn)
+        out = jfn(*args)
+        float(jnp.sum(out[0] if isinstance(out, tuple) else out))
+        t0 = time.time()
+        acc = 0.0
+        for _ in range(steps):
+            out = jfn(*args)
+            acc = acc + jnp.sum(out[0] if isinstance(out, tuple) else out)
+        float(acc)
+        ms = (time.time() - t0) / steps * 1e3
+        log(f"{name}_ms", round(ms, 3))
+        return ms
+    except Exception as e:
+        log(f"{name}_error", f"{type(e).__name__}: {e}"[:300])
+
+
+def phase_pool():
+    """3D pool/upsample lowering microbenches (the 'everything else' of the
+    110.6 ms step: pooling 6.1 ms + a share of the 35.5 ms boundary
+    relayouts).  Candidates mirror the conv slab trick: avoid native 3D
+    windows/gathers, ride reshapes + 2D-friendly ops."""
+    from jax import lax as jlax
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 64, 128, 128, 32), jnp.bfloat16)
+
+    def pool_native(v):
+        return jlax.reduce_window(
+            v, -jnp.inf, jlax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "VALID"
+        )
+
+    def pool_reshape(v):
+        n, d, h, w, c = v.shape
+        v = v.reshape(n, d // 2, 2, h // 2, 2, w // 2, 2, c)
+        return v.max(axis=(2, 4, 6))
+
+    def pool_pairwise(v):
+        v = jnp.maximum(v[:, ::2], v[:, 1::2])
+        v = jnp.maximum(v[:, :, ::2], v[:, :, 1::2])
+        return jnp.maximum(v[:, :, :, ::2], v[:, :, :, 1::2])
+
+    def pool_2dwin(v):
+        # depth pairwise + native 2D window over (H, W) on the folded batch
+        n, d, h, w, c = v.shape
+        v = jnp.maximum(v[:, ::2], v[:, 1::2]).reshape(n * d // 2, h, w, c)
+        v = jlax.reduce_window(
+            v, -jnp.inf, jlax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        )
+        return v.reshape(n, d // 2, h // 2, w // 2, c)
+
+    for nm, fn in [("pool_native", pool_native),
+                   ("pool_reshape", pool_reshape),
+                   ("pool_pairwise", pool_pairwise),
+                   ("pool_2dwin", pool_2dwin)]:
+        _time_fn(nm, fn, x)
+        # fwd+bwd (what the train step pays)
+        _time_fn(nm + "_grad",
+                 jax.grad(lambda v, f=fn: jnp.sum(
+                     f(v).astype(jnp.float32))), x)
+
+    # nearest ×2 upsample: gather-based (current) vs broadcast-repeat
+    from mdeical_image_segmentation_tpu.ops.image import interpolate_nearest_nd
+
+    u = jnp.asarray(rng.rand(2, 32, 64, 64, 64), jnp.bfloat16)
+
+    def up_current(v):
+        return interpolate_nearest_nd(v, (64, 128, 128))
+
+    def up_repeat(v):
+        n, d, h, w, c = v.shape
+        v = jnp.broadcast_to(
+            v[:, :, None, :, None, :, None, :],
+            (n, d, 2, h, 2, w, 2, c),
+        )
+        return v.reshape(n, 2 * d, 2 * h, 2 * w, c)
+
+    _time_fn("up_gather", up_current, u)
+    _time_fn("up_repeat", up_repeat, u)
+    _time_fn("up_gather_grad",
+             jax.grad(lambda v: jnp.sum(up_current(v).astype(jnp.float32))), u)
+    _time_fn("up_repeat_grad",
+             jax.grad(lambda v: jnp.sum(up_repeat(v).astype(jnp.float32))), u)
+
+
 def main():
     t0 = time.time()
     _ = float((jnp.ones((64, 64)) @ jnp.ones((64, 64))).sum())
     log("claim_s", round(time.time() - t0, 1))
     log("device", str(jax.devices()[0]))
 
+    if os.environ.get("POOL"):
+        phase_pool()
     if os.environ.get("FUSED2D"):
         phase_fused2d()
     if os.environ.get("FUSED"):
