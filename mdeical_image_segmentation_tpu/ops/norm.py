@@ -304,21 +304,29 @@ def _pick_bh(h: int, row: int, itemsize: int,
 
 def _gn_mode(x: jax.Array) -> str:
     """'full' (all four passes in pallas), 'hybrid' (pallas reductions, XLA
-    elementwise), or 'xla' (pure jnp custom-VJP path).
+    elementwise), or 'xla' (pure jnp custom-VJP path — the DEFAULT).
 
-    Measured on v5e in one process (scripts/tpu_gn_session.py GN_MODES=1,
-    UNet3D 'gcr' f_maps=32 b2 64×128×128 train step): hybrid 238.9 ms/step
-    / 54.8 GB HBM estimate, full 245.5 ms / 58.3 GB, xla 285.4 ms /
-    176.7 GB.  Hybrid wins because the normalize/dx elementwise passes stay
-    ordinary XLA fusions in the conv kernels' preferred layouts (free to
-    fuse with neighbors), while the pallas streaming kernels still fuse the
-    two reduction passes; pinning ALL four passes to pallas ('full') costs
-    ~7 ms of extra relayout around the conv boundaries.  Override with
-    TPUSEG_GN_MODE.  TPUSEG_NO_PALLAS_GN=1 is a hard kill-switch (same as
-    mode 'xla')."""
+    History of the default (same step: UNet3D 'gcr' f_maps=32 b2
+    64×128×128 on v5e, one process each):
+
+    - Round 2, native 3D convs: hybrid 238.9 ms / 54.8 GB HBM estimate,
+      full 245.5 / 58.3, xla 285.4 / 176.7 → hybrid was the default
+      (scripts/tpu_gn_session.py GN_MODES=1).
+    - Round 3, slab convs + repeat upsampling: **xla 96.5 ms / 61.4 GB**,
+      hybrid 106.0 / 66.3, full 107.0 / 62.3 → xla is now the default.
+      With the convs riding the 2D path, XLA fuses the custom-VJP
+      normalize/reduce passes into its conv fusions' layouts directly;
+      the pallas streaming kernels' (N, D, H, W·C) lane-packed view now
+      COSTS ~10 ms of boundary relayouts instead of saving traffic.  The
+      custom-VJP algebra (x̂-free residual, fp32 only on (N, C) stats) is
+      identical in all three modes — the round-1 flax-GroupNorm fp32
+      whole-tensor promotion (~290 ms) is what stays dead.
+
+    Override with TPUSEG_GN_MODE.  TPUSEG_NO_PALLAS_GN=1 is a hard
+    kill-switch (same as mode 'xla')."""
     # validate the env knob before any backend/shape early-return so a typo
     # fails fast on every platform (same strictness contract as TPUSEG_CONV3D)
-    mode = os.environ.get("TPUSEG_GN_MODE", "hybrid")
+    mode = os.environ.get("TPUSEG_GN_MODE", "xla")
     if mode not in ("full", "hybrid", "xla"):
         raise ValueError(
             f"TPUSEG_GN_MODE={mode!r}: expected 'full', 'hybrid', or 'xla'"

@@ -191,6 +191,27 @@ def test_transpose_gradients_match_flax():
     np.testing.assert_allclose(gw1, gw2, rtol=1e-4, atol=1e-4)
 
 
+def test_slab_transpose_under_data_parallel_jit():
+    """The slab deconv's (N·D) fold + phase-interleave reshapes must
+    compile and match under GSPMD batch sharding on the 8-device mesh."""
+    from mdeical_image_segmentation_tpu.parallel import mesh as mesh_lib
+
+    x = _rand((8, 3, 6, 6, 2))
+    w = _rand((3, 3, 3, 2, 4), seed=7) * 0.1
+    mesh = mesh_lib.make_mesh()
+
+    want = conv3d.slab_conv_transpose3d(
+        x, w, strides=(2, 2, 2), padding=[(1, 1)] * 3
+    )
+    xs = jax.device_put(x, mesh_lib.batch_sharding(mesh, x.ndim))
+    got = jax.jit(
+        lambda a: conv3d.slab_conv_transpose3d(
+            a, w, strides=(2, 2, 2), padding=[(1, 1)] * 3
+        )
+    )(xs)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
 def test_residual_unet3d_output_unchanged_under_slab():
     """Whole-model check for the deconv family: ResidualUNet3D forward is
     unchanged (to fp32 tolerance) when the slab lowerings are forced."""
