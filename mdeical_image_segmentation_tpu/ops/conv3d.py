@@ -26,6 +26,7 @@ strided 3D convs always use the native path.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Any, Callable, Optional, Sequence, Tuple
 
@@ -38,6 +39,18 @@ from jax import lax
 _DN2 = lax.conv_dimension_numbers(
     (1, 1, 1, 1), (1, 1, 1, 1), ("NHWC", "HWIO", "NHWC")
 )
+
+_SLAB_VJP_MODES = ("auto", "custom", "autodiff")
+
+
+def _slab_vjp_mode() -> str:
+    """TPUSEG_SLAB_VJP env knob — strict, like TPUSEG_CONV3D."""
+    mode = os.environ.get("TPUSEG_SLAB_VJP", "auto")
+    if mode not in _SLAB_VJP_MODES:
+        raise ValueError(
+            f"TPUSEG_SLAB_VJP={mode!r} not in {_SLAB_VJP_MODES}"
+        )
+    return mode
 
 
 def use_slab(kernel_size: Sequence[int], strides: Sequence[int]) -> bool:
@@ -87,9 +100,25 @@ def slab_conv3d(
     summation order) match of ``lax.conv_general_dilated`` with the same
     padding; asserts stride-1 by construction.
     """
+    (pd, ph, pw) = _pad_pairs(padding, tuple(kernel.shape[:3]))
+    if _slab_vjp_mode() == "autodiff":
+        y = _slab_raw(x, kernel, (tuple(pd), tuple(ph), tuple(pw)), precision)
+    else:
+        y = _slab_custom_fn((tuple(pd), tuple(ph), tuple(pw)), precision)(
+            x, kernel
+        )
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def _slab_raw(x, kernel, pads, precision):
+    """The plain shift-input slab loop (autodiff produces per-tap sliced-x
+    kernel-grad operands — see :func:`_slab_custom_fn` for why that costs
+    layout copies on TPU)."""
     n, d, h, w, ci = x.shape
     kd = kernel.shape[0]
-    (pd_lo, pd_hi), ph, pw = _pad_pairs(padding, tuple(kernel.shape[:3]))
+    (pd_lo, pd_hi), ph, pw = pads
     d_out = d + pd_lo + pd_hi - kd + 1
     if pd_lo or pd_hi:
         x = jnp.pad(x, ((0, 0), (pd_lo, pd_hi), (0, 0), (0, 0), (0, 0)))
@@ -105,10 +134,109 @@ def slab_conv3d(
             precision=precision,
         )
         y = yk if y is None else y + yk
-    y = y.reshape(n, d_out, *y.shape[1:])
-    if bias is not None:
-        y = y + bias
-    return y
+    return y.reshape(n, d_out, *y.shape[1:])
+
+
+# kernel-grad dimension numbers: contract over the (N·D) conv batch and the
+# output spatial dims; lhs = saved activation slab (B, H, W, Ci) with its
+# batch in the contraction ("feature") role, rhs = cotangent slab
+# (B, Ho, Wo, Co) as the sliding window, out = (kh, kw, Ci, Co).
+_DN_KGRAD = lax.conv_dimension_numbers(
+    (1, 1, 1, 1), (1, 1, 1, 1), ("CHWN", "IHWO", "HWNC")
+)
+
+
+@functools.lru_cache(maxsize=64)
+def _slab_custom_fn(pads, precision):
+    """custom-VJP slab conv (x, kernel) → y with layout-aware grads.
+
+    The TPU profile (PERF.md round 3) showed the dominant remaining
+    non-conv cost of the slab decomposition is XLA relaying each of the kd
+    *different* depth-sliced copies of the saved input into the kernel-grad
+    conv's batch-minor layout — three ~full-tensor copies per conv at the
+    big decoder levels.  This VJP restructures the kernel-grad so per-tap
+    operands are slices/pads of ONE tensor in ONE layout:
+
+    - dx: ``jax.linear_transpose`` of the forward — autodiff's own form,
+      whose per-tap input-grad convs already share the single cotangent
+      slab as their operand.
+    - dW tap k contracts x_pad[d+k] with g[d]; equivalently (shifting the
+      other operand) x_pad[d'] with g[d'-k].  Form A slices x per tap
+      (autodiff's form, cheap when Ci is small); form B keeps the full
+      x_pad frame fixed and embeds g at depth offset k (cheap when
+      Co < Ci, e.g. the 96→32 decoder concat convs).  Selected per conv by
+      3·Co < 2·Ci (relayout traffic: A ≈ kd·Ci vs B ≈ Ci + kd·Co).
+      Both forms are the same contraction with identical addends (form B's
+      extra terms are exact float zeros), evaluated by the same MXU conv.
+    """
+
+    @jax.custom_vjp
+    def fn(x, kernel):
+        return _slab_raw(x, kernel, pads, precision)
+
+    def fwd(x, kernel):
+        return fn(x, kernel), (x, kernel)
+
+    def bwd(res, g):
+        x, kernel = res
+        n, d, h, w, ci = x.shape
+        kd, kh, kw, _, co = kernel.shape
+        (pd_lo, pd_hi), ph, pw = pads
+        d_pad = d + pd_lo + pd_hi
+        d_out = d_pad - kd + 1
+
+        dx = jax.linear_transpose(
+            lambda xx: _slab_raw(xx, kernel, pads, precision), x
+        )(g)[0]
+
+        g_slab = g.reshape(n * d_out, *g.shape[2:])
+        if 3 * co < 2 * ci:
+            # form B: one fixed x_pad frame; shift g per tap
+            x_pad = x
+            if pd_lo or pd_hi:
+                x_pad = jnp.pad(
+                    x, ((0, 0), (pd_lo, pd_hi), (0, 0), (0, 0), (0, 0))
+                )
+            x_slab = x_pad.reshape(n * d_pad, h, w, ci)
+            dk = []
+            for k in range(kd):
+                gk = jnp.pad(
+                    g,
+                    ((0, 0), (k, d_pad - d_out - k), (0, 0), (0, 0), (0, 0)),
+                ).reshape(n * d_pad, *g.shape[2:])
+                dk.append(
+                    lax.conv_general_dilated(
+                        x_slab, gk,
+                        window_strides=(1, 1),
+                        padding=(ph, pw),
+                        dimension_numbers=_DN_KGRAD,
+                        precision=precision,
+                    )
+                )
+        else:
+            # form A: slice x per tap (autodiff's form)
+            x_pad = x
+            if pd_lo or pd_hi:
+                x_pad = jnp.pad(
+                    x, ((0, 0), (pd_lo, pd_hi), (0, 0), (0, 0), (0, 0))
+                )
+            dk = []
+            for k in range(kd):
+                xs = lax.slice_in_dim(x_pad, k, k + d_out, axis=1)
+                dk.append(
+                    lax.conv_general_dilated(
+                        xs.reshape(n * d_out, h, w, ci), g_slab,
+                        window_strides=(1, 1),
+                        padding=(ph, pw),
+                        dimension_numbers=_DN_KGRAD,
+                        precision=precision,
+                    )
+                )
+        dkernel = jnp.stack(dk, axis=0)
+        return dx, dkernel.astype(kernel.dtype)
+
+    fn.defvjp(fwd, bwd)
+    return fn
 
 
 def use_slab_transpose(kernel_size: Sequence[int], strides: Sequence[int]) -> bool:

@@ -21,6 +21,7 @@ Parity notes (the cross-framework traps called out in SURVEY.md §7):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence, Tuple, Union
 
 import jax
@@ -42,6 +43,58 @@ def _tuplify(v: IntOrSeq, n: int) -> Tuple[int, ...]:
 # ---------------------------------------------------------------------------
 # Pooling
 # ---------------------------------------------------------------------------
+
+_POOL_MODES = ("auto", "pairwise", "native")
+
+
+def _pool_mode() -> str:
+    """TPUSEG_POOL env knob: 'auto' (pairwise when window==stride and the
+    input divides evenly — the UNet encoder case), 'pairwise', 'native'.
+    Strict: typos raise immediately on every platform."""
+    mode = os.environ.get("TPUSEG_POOL", "auto")
+    if mode not in _POOL_MODES:
+        raise ValueError(
+            f"TPUSEG_POOL={mode!r} not in {_POOL_MODES}"
+        )
+    return mode
+
+
+def _max_pool_pairwise(x: jax.Array, win: Tuple[int, ...]) -> jax.Array:
+    """Non-overlapping max pool as reshape + first-wins pairwise selects.
+
+    ``lax.reduce_window(max)``'s backward lowers to ``select_and_scatter``
+    (3.8 ms/step in the UNet3D profile, PERF.md).  For window == stride with
+    evenly dividing input, the pool is a reshape splitting each pooled axis
+    into (out, w) plus a fold over the w axes — and folding with
+    ``jnp.where(acc >= nxt, acc, nxt)`` (NOT ``lax.max``) makes the VJP a
+    chain of fused elementwise selects whose tie behavior routes the whole
+    gradient to the FIRST max in window scan order: identical to
+    select_and_scatter's ge-select and torch's MaxPool backward.
+    (``lax.max`` would split ties evenly — a semantics change.)
+    NaN caveat: ``where(a >= b)`` picks b when acc is NaN instead of
+    propagating; pooled activations are finite by construction.
+    """
+    nsp = len(win)
+    # floor mode drops a non-dividing tail — crop it so the reshape is exact
+    if any(size % w for size, w in zip(x.shape[1:-1], win)):
+        x = x[
+            tuple([slice(None)] + [slice(0, (s // w) * w) for s, w in zip(x.shape[1:-1], win)])
+        ]
+    shape = [x.shape[0]]
+    for size, w in zip(x.shape[1:-1], win):
+        shape += [size // w, w]
+    shape.append(x.shape[-1])
+    xr = x.reshape(shape)
+    # Fold the w axes innermost-spatial-first so ties resolve in row-major
+    # (d, h, w) window scan order, matching torch.
+    for i in reversed(range(nsp)):
+        ax = 2 + 2 * i
+        acc = lax.index_in_dim(xr, 0, ax, keepdims=False)
+        for j in range(1, win[i]):
+            nxt = lax.index_in_dim(xr, j, ax, keepdims=False)
+            acc = jnp.where(acc >= nxt, acc, nxt)
+        xr = acc
+    return xr
 
 
 def max_pool_nd(
@@ -75,6 +128,14 @@ def max_pool_nd(
 
     if x.dtype == jnp.bool_:
         x = x.astype(jnp.int8)
+    if (
+        _pool_mode() != "native"
+        and win == strd
+        and all(p == (0, 0) for p in pads)
+    ):
+        # pads all-zero with win == strd implies every spatial dim divides
+        # evenly (ceil_mode included) — the pairwise form is exact here.
+        return _max_pool_pairwise(x, win)
     init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(
         x,

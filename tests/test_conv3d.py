@@ -64,6 +64,47 @@ def test_gradients_match_native():
     np.testing.assert_allclose(gw1, gw2, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "ci,co,padding",
+    [(96, 32, "SAME"), (8, 16, "SAME"), (6, 4, "VALID"), (9, 2, (1, 0, 2))],
+)
+def test_custom_vjp_grads_match_autodiff(ci, co, padding, monkeypatch):
+    """The layout-aware custom VJP (TPUSEG_SLAB_VJP, PERF.md round 3) must
+    reproduce autodiff's gradients for both dW forms (A: slice-x when Ci
+    small; B: fixed x frame + shifted cotangent when 3·Co < 2·Ci)."""
+    x = _rand((2, 5, 8, 9, ci))
+    w = _rand((3, 3, 3, ci, co), seed=3) * 0.1
+    gy = None
+
+    def grads(mode):
+        nonlocal gy
+        monkeypatch.setenv("TPUSEG_SLAB_VJP", mode)
+        conv3d._slab_custom_fn.cache_clear()
+        y, vjp = jax.vjp(
+            lambda x, w: conv3d.slab_conv3d(x, w, padding=padding), x, w
+        )
+        if gy is None:
+            gy = _rand(y.shape, seed=4)
+        return vjp(gy)
+
+    gx_a, gw_a = grads("autodiff")
+    gx_c, gw_c = grads("custom")
+    conv3d._slab_custom_fn.cache_clear()
+    np.testing.assert_allclose(gx_c, gx_a, rtol=1e-5, atol=1e-5)
+    # form B reassociates the dW contraction (fixed frame + shifted
+    # cotangent): identical addends, different order ⇒ fp32 noise ~1e-5
+    # absolute on O(50) magnitudes
+    np.testing.assert_allclose(gw_c, gw_a, rtol=1e-3, atol=1e-4)
+
+
+def test_slab_vjp_env_knob_strict(monkeypatch):
+    monkeypatch.setenv("TPUSEG_SLAB_VJP", "bogus")
+    with pytest.raises(ValueError, match="TPUSEG_SLAB_VJP"):
+        conv3d.slab_conv3d(
+            _rand((1, 4, 4, 4, 2)), _rand((3, 3, 3, 2, 2), seed=5)
+        )
+
+
 def test_bias_applied():
     x = _rand((1, 3, 4, 4, 2))
     w = _rand((3, 3, 3, 2, 5), seed=3) * 0.1

@@ -44,6 +44,67 @@ def test_max_pool_floor_mode_matches_torch(size, k):
     np.testing.assert_allclose(ours, ref)
 
 
+@pytest.mark.parametrize(
+    "shape,win", [((2, 8, 16, 16, 4), (2, 2, 2)), ((2, 16, 16, 3), 2), ((1, 12, 12, 2), (3, 3))]
+)
+def test_max_pool_pairwise_bit_exact_vs_native(shape, win, monkeypatch):
+    """The pairwise select decomposition (TPUSEG_POOL, PERF.md) must be
+    bit-exact vs the reduce_window/select_and_scatter path in BOTH forward
+    and gradient, including tie-heavy inputs (ties route to the first max
+    in window scan order — torch semantics)."""
+    import jax
+
+    from mdeical_image_segmentation_tpu.ops.image import max_pool_nd
+
+    x = np.random.default_rng(0).standard_normal(shape).astype(np.float32)
+    x[..., ::2] = np.round(x[..., ::2] * 2) / 2  # force many exact ties
+    gy = None
+
+    def run(mode):
+        nonlocal gy
+        monkeypatch.setenv("TPUSEG_POOL", mode)
+        y, vjp = jax.vjp(lambda x: max_pool_nd(x, win), jnp.asarray(x))
+        if gy is None:
+            gy = np.random.default_rng(1).standard_normal(y.shape).astype(np.float32)
+        return np.asarray(y), np.asarray(vjp(jnp.asarray(gy))[0])
+
+    yn, gn = run("native")
+    yp, gp = run("pairwise")
+    np.testing.assert_array_equal(yn, yp)
+    np.testing.assert_array_equal(gn, gp)
+
+
+def test_max_pool_pairwise_grad_matches_torch(monkeypatch):
+    """Tie-breaking in the pairwise backward must match torch's MaxPool2d
+    (whole gradient to the first max in row-major window order)."""
+    import jax
+
+    from mdeical_image_segmentation_tpu.ops.image import max_pool_nd
+
+    monkeypatch.setenv("TPUSEG_POOL", "pairwise")
+    x = np.random.default_rng(2).standard_normal((2, 4, 8, 8)).astype(np.float32)
+    x[:, :, ::2] = np.round(x[:, :, ::2])
+    xt = torch.tensor(x, requires_grad=True)
+    yt = F.max_pool2d(xt, 2)
+    gy = torch.tensor(
+        np.random.default_rng(3).standard_normal(tuple(yt.shape)).astype(np.float32)
+    )
+    yt.backward(gy)
+    xj = jnp.asarray(np.moveaxis(x, 1, -1))
+    yj, vjp = jax.vjp(lambda a: max_pool_nd(a, 2), xj)
+    gj = vjp(jnp.asarray(np.moveaxis(gy.numpy(), 1, -1)))[0]
+    np.testing.assert_array_equal(_to_nhwc(yt.detach()), np.asarray(yj))
+    np.testing.assert_array_equal(_to_nhwc(xt.grad), np.asarray(gj))
+
+
+def test_pool_mode_env_knob_strict(monkeypatch):
+    from mdeical_image_segmentation_tpu.ops.image import max_pool_nd
+
+    monkeypatch.setenv("TPUSEG_POOL", "bogus")
+    with pytest.raises(ValueError, match="TPUSEG_POOL"):
+        max_pool_nd(jnp.zeros((1, 4, 4, 1)), 2)
+
+
 def test_avg_pool_matches_torch():
     x = np.random.RandomState(2).randn(2, 12, 12, 3).astype(np.float32)
     ours = np.asarray(avg_pool_nd(jnp.asarray(x), 2))
