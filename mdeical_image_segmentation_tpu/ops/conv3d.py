@@ -44,7 +44,13 @@ _SLAB_VJP_MODES = ("auto", "custom", "autodiff")
 
 
 def _slab_vjp_mode() -> str:
-    """TPUSEG_SLAB_VJP env knob — strict, like TPUSEG_CONV3D."""
+    """TPUSEG_SLAB_VJP env knob — strict, like TPUSEG_CONV3D.
+
+    Measured NEGATIVE on v5e (scripts/tpu_r3c_session.py, PERF.md): the
+    layout-aware custom VJP (fixed-frame kernel-grads) costs more than the
+    per-tap saved-slab relayout copies it was built to remove (UNet3D f32
+    b2: 104.4 vs 95.4 ms/step) — so 'auto' keeps autodiff and 'custom' is
+    opt-in."""
     mode = os.environ.get("TPUSEG_SLAB_VJP", "auto")
     if mode not in _SLAB_VJP_MODES:
         raise ValueError(
@@ -101,12 +107,12 @@ def slab_conv3d(
     padding; asserts stride-1 by construction.
     """
     (pd, ph, pw) = _pad_pairs(padding, tuple(kernel.shape[:3]))
-    if _slab_vjp_mode() == "autodiff":
-        y = _slab_raw(x, kernel, (tuple(pd), tuple(ph), tuple(pw)), precision)
-    else:
+    if _slab_vjp_mode() == "custom":
         y = _slab_custom_fn((tuple(pd), tuple(ph), tuple(pw)), precision)(
             x, kernel
         )
+    else:
+        y = _slab_raw(x, kernel, (tuple(pd), tuple(ph), tuple(pw)), precision)
     if bias is not None:
         y = y + bias
     return y

@@ -48,9 +48,14 @@ _POOL_MODES = ("auto", "pairwise", "native")
 
 
 def _pool_mode() -> str:
-    """TPUSEG_POOL env knob: 'auto' (pairwise when window==stride and the
-    input divides evenly — the UNet encoder case), 'pairwise', 'native'.
-    Strict: typos raise immediately on every platform."""
+    """TPUSEG_POOL env knob: 'auto' (= native), 'pairwise', 'native'.
+    Strict: typos raise immediately on every platform.
+
+    Measured NEGATIVE on v5e (scripts/tpu_r3c_session.py, PERF.md): the
+    pairwise form is bit-exact but the (W) → (W/2, 2) reshape forces
+    sublane relayouts that cost more than the select_and_scatter backward
+    it removes (UNet3D f32 b2: 103.1 vs 95.4 ms/step) — so 'auto' keeps
+    the reduce_window path and 'pairwise' is opt-in."""
     mode = os.environ.get("TPUSEG_POOL", "auto")
     if mode not in _POOL_MODES:
         raise ValueError(
@@ -129,7 +134,7 @@ def max_pool_nd(
     if x.dtype == jnp.bool_:
         x = x.astype(jnp.int8)
     if (
-        _pool_mode() != "native"
+        _pool_mode() == "pairwise"
         and win == strd
         and all(p == (0, 0) for p in pads)
     ):
