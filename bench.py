@@ -119,6 +119,43 @@ def bench_unet3d(f_maps: int = 32, batch: int = 2, patch=(64, 128, 128),
     }
 
 
+def bench_int8_infer(f_maps: int = 32, batch: int = 2, patch=(64, 128, 128),
+                     steps: int = 20):
+    """int8 PTQ inference forward (TPU extension — ops/quant.py): bf16 vs
+    W8A8 UNet3D 'gcr' forward; v5e's MXU runs s8 at 2x the bf16 peak."""
+    from mdeical_image_segmentation_tpu.models import get_model
+    from mdeical_image_segmentation_tpu.ops import quant
+
+    model = get_model(
+        {"name": "UNet3D", "in_channels": 1, "out_channels": 1,
+         "f_maps": f_maps, "num_levels": 4, "layer_order": "gcr",
+         "dtype": jnp.bfloat16}
+    )
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(batch, *patch, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x[:1], False)
+
+    def timed(fn, v):
+        _ = float(fn(v, x))
+        t0 = time.time()
+        acc = 0.0
+        for _ in range(steps):
+            acc = acc + fn(v, x)
+        float(acc)
+        return (time.time() - t0) / steps * 1e3
+
+    ms_f = timed(jax.jit(lambda v, xx: jnp.sum(model.apply(v, xx, False))),
+                 variables)
+    scales = quant.calibrate(
+        lambda v, xx, **kw: model.apply(v, xx, False, **kw), variables, [(x,)])
+    ms_q = timed(
+        jax.jit(quant.wrap_apply(
+            lambda v, xx: jnp.sum(model.apply(v, xx, False)), "int8")),
+        {**variables, **scales})
+    return {"float_ms": round(ms_f, 2), "int8_ms": round(ms_q, 2),
+            "speedup": round(ms_f / ms_q, 2), "batch": batch}
+
+
 def bench_unet3plus(batch: int = 4, res: int = 512, steps: int = 10):
     """The reference's training configuration of record (scripts/train.sh:
     UNet_3Plus at 512x512, bf16 + remat — without remat the 25-branch
@@ -198,6 +235,7 @@ def main():
     resid = extra(bench_unet3d, name="ResidualUNet3D", num_levels=5,
                   steps=15)  # deconv decoder family (slab ConvTranspose3D)
     fast = extra(bench_unet2d, base_features=16, batch=128, steps=20)
+    int8 = extra(bench_int8_infer)  # TPU extension: W8A8 PTQ inference
 
     value = round(headline["slices_per_sec"], 1)
     print(
@@ -216,6 +254,7 @@ def main():
                     "unet3d_fmaps32_64x128x128": vol,
                     "unet3d_fmaps64_ref_width_64x128x128": vol64,
                     "residual_unet3d_fmaps32_64x128x128": resid,
+                    "int8_ptq_infer_unet3d_fmaps32": int8,
                 },
             }
         )

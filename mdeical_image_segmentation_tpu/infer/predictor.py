@@ -72,6 +72,8 @@ class _AbstractPredictor:
         save_segmentation: bool = False,
         prediction_channel: Optional[int] = None,
         apply_activation: bool = False,
+        quantize: Optional[str] = None,
+        calib_batches: int = 1,
         **kwargs,
     ):
         self.model = model
@@ -82,6 +84,16 @@ class _AbstractPredictor:
         self.save_segmentation = save_segmentation
         self.prediction_channel = prediction_channel
         self.apply_activation = apply_activation
+        if quantize not in (None, "int8"):
+            raise ValueError(f"predictor quantize={quantize!r}: expected 'int8'")
+        # int8 PTQ (ops/quant.py): the first `calib_batches` batches run the
+        # float forward while collecting activation scales, then the
+        # s8×s8→s32 conv path takes over (measured 1.5-1.7× conv speedup on
+        # v5e — PERF.md).  The reference has no quantized inference.
+        self.quantize = quantize
+        self.calib_batches = max(1, int(calib_batches))
+        self._quant_scales: Dict[str, Any] = {}
+        self._calib_seen = 0
         self._forward = None
         self._batch_size = None
 
@@ -90,10 +102,12 @@ class _AbstractPredictor:
         is2d = not getattr(model, "is3d", True)
         apply_activation = self.apply_activation
 
-        def forward(variables, x):
+        def raw_apply(variables, x, **kw):
             if is2d:
                 x = jnp.squeeze(x, axis=1)
-            out = model.apply(variables, x, False)
+            return model.apply(variables, x, False, **kw)
+
+        def postprocess(out):
             if is2d:
                 out = jnp.expand_dims(out, axis=1)
             if apply_activation:
@@ -102,7 +116,28 @@ class _AbstractPredictor:
                     out = act(out)
             return out
 
+        def forward(variables, x):
+            return postprocess(raw_apply(variables, x))
+
         self._forward = jax.jit(forward)
+        if self.quantize == "int8":
+            from ..ops import quant as _q
+
+            def calib(variables, qcoll, x):
+                out, upd = _q.wrap_apply(raw_apply, "calib")(
+                    {**variables, "quant": qcoll}, x, mutable=["quant"]
+                )
+                return postprocess(out), upd["quant"]
+
+            def int8_fwd(variables, qcoll, x):
+                return postprocess(
+                    _q.wrap_apply(raw_apply, "int8")(
+                        {**variables, "quant": qcoll}, x
+                    )
+                )
+
+            self._calib_forward = jax.jit(calib)
+            self._int8_forward = jax.jit(int8_fwd)
         self._batch_size = batch_size
 
     def _predict_batch(self, input: np.ndarray) -> np.ndarray:
@@ -113,6 +148,17 @@ class _AbstractPredictor:
         if n < self._batch_size:
             pad = np.repeat(input[-1:], self._batch_size - n, axis=0)
             input = np.concatenate([input, pad], axis=0)
+        if self.quantize == "int8":
+            if self._calib_seen < self.calib_batches:
+                out_dev, self._quant_scales = self._calib_forward(
+                    self.variables, self._quant_scales, jnp.asarray(input)
+                )
+                self._calib_seen += 1
+            else:
+                out_dev = self._int8_forward(
+                    self.variables, self._quant_scales, jnp.asarray(input)
+                )
+            return np.asarray(jax.device_get(out_dev))[:n]
         out = np.asarray(
             jax.device_get(self._forward(self.variables, jnp.asarray(input)))
         )

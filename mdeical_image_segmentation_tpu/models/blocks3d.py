@@ -111,12 +111,15 @@ class SingleConv(nn.Module):
         # HBM.  Param tree (GroupNorm_0/{scale,bias},
         # TorchConv_0/Conv_0/kernel) is identical to the unfused path below,
         # so checkpoints/torch imports are unaffected.
+        from ..ops import quant as _quant
+
         if (
             order == "gcr"
             and self.is3d
             and x.ndim == 5
             and ks == (3, 3, 3)
             and pad == [(1, 1)] * 3
+            and _quant.mode() == "off"  # int8 PTQ routes via TorchConv
         ):
             from ..ops import fused_conv as _fc
 

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ..ops import conv3d
 from ..ops import initializers as tinit
+from ..ops import quant as _quant
 from ..ops.image import center_crop, upsample_bilinear2d
 
 KernelInit = Union[str, Callable]
@@ -63,6 +64,20 @@ class TorchConv(nn.Module):
         ks = tuple(self.kernel_size)
         strides = tuple(self.strides) if self.strides else (1,) * len(ks)
         fan_in = math.prod(ks) * x.shape[-1]
+        if _quant.mode() != "off" and _quant.quantizable(ks, x.shape[-1]):
+            # int8 PTQ inference path (ops/quant.py): same param tree
+            # ("Conv_0/{kernel,bias}"), s8×s8→s32 conv on the MXU.
+            return _quant.Int8Conv(
+                features=self.features,
+                kernel_size=ks,
+                strides=strides,
+                padding=self.padding,
+                use_bias=self.use_bias,
+                kernel_init=_resolve_kernel_init(self.kernel_init),
+                bias_init=tinit.torch_conv_default_bias(fan_in),
+                dtype=self.dtype,
+                name="Conv_0",
+            )(x)
         if conv3d.use_slab(ks, strides):
             # TPU: lower the depth axis by hand onto XLA's 2D conv path
             # (~2x on v5e — ops/conv3d.py). name="Conv_0" keeps the param

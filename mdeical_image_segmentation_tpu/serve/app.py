@@ -69,18 +69,25 @@ class ModelRegistry:
         logger.info(f"registered model {entry.name!r} (default={self.default})")
 
     def register_unet2d(self, name: str, path: str, *, threshold: float = 0.5,
-                        resolution: int = 512, default: bool = False):
-        """Load a 2D bundle saved with UNetModel.save_pretrained."""
+                        resolution: int = 512, default: bool = False,
+                        quantize: Optional[str] = None, calib_batches: int = 1):
+        """Load a 2D bundle saved with UNetModel.save_pretrained.
+
+        ``quantize='int8'`` serves through the W8A8 conv path (ops/quant.py,
+        measured 1.42x forward on v5e — PERF.md): the first
+        ``calib_batches`` request batches run the float forward while
+        collecting activation scales, then the s8 path takes over.  Safe
+        here because each model has exactly one engine worker thread."""
         import jax
         import jax.numpy as jnp
 
         from ..models import UNetModel
 
+        if quantize not in (None, "int8"):
+            raise ValueError(f"quantize={quantize!r}: expected 'int8'")
         model, variables = UNetModel.from_pretrained(path)
 
-        @jax.jit
-        def forward(x):
-            out = model.apply(variables, x, None, train=False)
+        def probs(out):
             logits = out.logits
             # CGM returns probabilities already; others return logits
             if model.config.unet_type.endswith("CGM"):
@@ -89,10 +96,49 @@ class ModelRegistry:
                 return jax.nn.softmax(logits, axis=-1)
             return jax.nn.sigmoid(logits)
 
+        @jax.jit
+        def forward(x):
+            return probs(model.apply(variables, x, None, train=False))
+
+        if quantize == "int8":
+            from ..ops import quant as _q
+
+            def raw_apply(v, x, **kw):
+                return model.apply(v, x, None, train=False, **kw)
+
+            @jax.jit
+            def calib_fwd(v, q, x):
+                out, upd = _q.wrap_apply(raw_apply, "calib")(
+                    {**v, "quant": q}, x, mutable=["quant"]
+                )
+                return probs(out), upd["quant"]
+
+            @jax.jit
+            def int8_fwd(v, q, x):
+                return probs(
+                    _q.wrap_apply(raw_apply, "int8")({**v, "quant": q}, x)
+                )
+
+            state = {"seen": 0, "scales": {}}
+
+            def np_forward(x):
+                x = jnp.asarray(x)
+                if state["seen"] < max(1, int(calib_batches)):
+                    out, state["scales"] = calib_fwd(
+                        variables, state["scales"], x
+                    )
+                    state["seen"] += 1
+                else:
+                    out = int8_fwd(variables, state["scales"], x)
+                return np.asarray(out)
+        else:
+            def np_forward(x):
+                return np.asarray(forward(jnp.asarray(x)))
+
         self.register(
             ModelEntry(
                 name=name,
-                forward=lambda x: np.asarray(forward(jnp.asarray(x))),
+                forward=np_forward,
                 in_channels=model.config.in_channels,
                 resolution=resolution,
                 threshold=threshold,

@@ -25,6 +25,7 @@ def main():
     parser.add_argument(
         "--unet2d", action="append", default=[],
         help="name=<model name>,path=<save_pretrained dir>[,resolution=512]"
+             "[,quantize=int8][,calib_batches=1]"
     )
     parser.add_argument(
         "--sam", action="append", default=[],
@@ -47,7 +48,9 @@ def main():
     for spec in args.unet2d:
         kv = dict(item.split("=", 1) for item in spec.split(","))
         registry.register_unet2d(
-            kv["name"], kv["path"], resolution=int(kv.get("resolution", 512))
+            kv["name"], kv["path"], resolution=int(kv.get("resolution", 512)),
+            quantize=kv.get("quantize"),
+            calib_batches=int(kv.get("calib_batches", 1)),
         )
     for spec in args.sam:
         kv = dict(item.split("=", 1) for item in spec.split(","))

@@ -65,6 +65,41 @@ class TestStandardPredictor:
         assert result.shape == (2, 16, 96, 96)
         assert np.isfinite(result).all()  # every voxel visited ≥ once
 
+    def test_int8_quantized_predictor_tracks_float(
+        self, model_and_vars, volume_file, tmp_path
+    ):
+        """quantize='int8' (ops/quant.py): calibrates on the first batch,
+        runs the rest through the s8 conv path; the overlap-averaged volume
+        must track the float predictor closely."""
+        model, variables = model_and_vars
+        out_f = str(tmp_path / "f")
+        out_q = str(tmp_path / "q")
+        os.makedirs(out_f), os.makedirs(out_q)
+        ff = StandardPredictor(model, variables, out_f, out_channels=2)(
+            _loader(volume_file)
+        )
+        fq = StandardPredictor(
+            model, variables, out_q, out_channels=2,
+            quantize="int8", calib_batches=1,
+        )(_loader(volume_file))
+        with h5py.File(ff, "r") as f:
+            a = f["predictions"][:]
+        with h5py.File(fq, "r") as f:
+            b = f["predictions"][:]
+        assert np.isfinite(b).all()
+        rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+        assert rel < 0.15, rel
+        # argmax segmentation agreement across the volume
+        assert (a.argmax(0) == b.argmax(0)).mean() > 0.95
+
+    def test_quantize_rejects_unknown_scheme(self, model_and_vars, tmp_path):
+        model, variables = model_and_vars
+        with pytest.raises(ValueError, match="quantize"):
+            StandardPredictor(
+                model, variables, str(tmp_path), out_channels=2,
+                quantize="fp8",
+            )
+
     def test_overlap_average_consistency(self, model_and_vars, volume_file, tmp_path):
         """Overlapping strides must give the same result as exact tiling for a
         deterministic model (averaging identical patch predictions in the

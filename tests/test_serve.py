@@ -381,3 +381,35 @@ def test_prompt_coordinates_rescaled(tmp_path):
     np.testing.assert_allclose(pts[0], [32.0, 32.0])  # x: *64/512, y: *64/256
     np.testing.assert_allclose(box, [[0, 0], [64, 64]])
     assert lbl[0] == 1 and lbl[1] == -1
+
+
+def test_register_unet2d_int8_quantized(tmp_path):
+    """quantize='int8' (ops/quant.py): the first calib_batches forwards run
+    float while collecting activation scales, later forwards take the s8
+    conv path; masks must track the float registration closely."""
+    model = UNetModel(
+        UNetConfig(in_channels=1, out_channels=1, unet_type="UNet",
+                   base_features=16)
+    )
+    variables = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 1)))
+    path = str(tmp_path / "bundle")
+    model.save_pretrained(path, variables)
+
+    registry = ModelRegistry()
+    registry.register_unet2d("float", path, resolution=64)
+    registry.register_unet2d("int8", path, resolution=64, quantize="int8",
+                            calib_batches=1)
+    with pytest.raises(ValueError, match="quantize"):
+        registry.register_unet2d("bad", path, quantize="fp8")
+
+    rs = np.random.RandomState(7)
+    x1 = rs.rand(2, 64, 64, 1).astype(np.float32)
+    x2 = rs.rand(2, 64, 64, 1).astype(np.float32)
+    f = registry.get("float").forward
+    q = registry.get("int8").forward
+    # request 1 calibrates (float path) — must match the float model exactly
+    np.testing.assert_allclose(q(x1), f(x1), atol=1e-5)
+    # request 2 runs int8 — probabilities close, thresholded masks agree
+    pf, pq = f(x2), q(x2)
+    assert np.abs(pf - pq).max() < 0.1
+    assert ((pf > 0.5) == (pq > 0.5)).mean() > 0.98
