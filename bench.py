@@ -26,6 +26,22 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+# Persistent compilation cache: remote compiles through the axon tunnel run
+# 30-200+ s per program, which used to push budget-gated extras into
+# "skipped".  Cache hits load in <1 s (measured), so a warmed cache lets
+# every row run.  Harmless on any backend; keyed by HLO + compiler version.
+try:
+    _cache_dir = os.environ.get(
+        "TPUSEG_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    if _cache_dir != "off":
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
+
 
 def bench_unet2d(base_features: int, batch: int, res: int = 256, steps: int = 60):
     from mdeical_image_segmentation_tpu.models import UNetConfig, UNetModel
@@ -136,6 +152,11 @@ def bench_int8_infer(f_maps: int = 32, batch: int = 2, patch=(64, 128, 128),
     variables = model.init(jax.random.PRNGKey(0), x[:1], False)
 
     def timed(fn, v):
+        # two warmup fetches: through the axon tunnel a single first-call
+        # value fetch has been observed to return before the device is
+        # fully drained, leaking compile/warmup tail into the timed loop
+        # (one contaminated 10x float_ms reading in round 3)
+        _ = float(fn(v, x))
         _ = float(fn(v, x))
         t0 = time.time()
         acc = 0.0
@@ -208,7 +229,10 @@ def main():
 
     # Extras stop when the remaining budget runs out (remote-compile latency
     # in this environment is variable); the headline metric always runs.
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", 650))
+    # 1500 s default: even with a warm persistent cache, each program costs
+    # ~60-120 s of remote load/warmup through the axon tunnel, and six
+    # extras at that overhead exceed the old 650 s budget.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 1500))
 
     device = jax.devices()[0]
     # chip-claim barrier: tunnel claims vary 15 s - 20 min and would
@@ -220,8 +244,11 @@ def main():
     def extra(fn, *args, **kwargs):
         if time.time() - t_start > budget_s:
             return {"skipped": "time budget"}
+        t_row = time.time()
         try:
-            return fn(*args, **kwargs)
+            out = fn(*args, **kwargs)
+            out["row_elapsed_s"] = round(time.time() - t_row, 1)
+            return out
         except Exception as e:
             return {"error": f"{type(e).__name__}: {e}"}
 
@@ -234,8 +261,8 @@ def main():
     vol64 = extra(bench_unet3d, f_maps=64, batch=1, steps=15)  # ref width
     resid = extra(bench_unet3d, name="ResidualUNet3D", num_levels=5,
                   steps=15)  # deconv decoder family (slab ConvTranspose3D)
-    fast = extra(bench_unet2d, base_features=16, batch=128, steps=20)
     int8 = extra(bench_int8_infer)  # TPU extension: W8A8 PTQ inference
+    fast = extra(bench_unet2d, base_features=16, batch=128, steps=20)
 
     value = round(headline["slices_per_sec"], 1)
     print(
