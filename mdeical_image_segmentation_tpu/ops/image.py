@@ -44,18 +44,24 @@ def _tuplify(v: IntOrSeq, n: int) -> Tuple[int, ...]:
 # Pooling
 # ---------------------------------------------------------------------------
 
-_POOL_MODES = ("auto", "pairwise", "native")
+_POOL_MODES = ("auto", "pairwise", "depth2d", "native")
 
 
 def _pool_mode() -> str:
-    """TPUSEG_POOL env knob: 'auto' (= native), 'pairwise', 'native'.
-    Strict: typos raise immediately on every platform.
+    """TPUSEG_POOL env knob: 'auto' (= native), 'pairwise', 'depth2d',
+    'native'.  Strict: typos raise immediately on every platform.
 
     Measured NEGATIVE on v5e (scripts/tpu_r3c_session.py, PERF.md): the
     pairwise form is bit-exact but the (W) → (W/2, 2) reshape forces
     sublane relayouts that cost more than the select_and_scatter backward
     it removes (UNet3D f32 b2: 103.1 vs 95.4 ms/step) — so 'auto' keeps
-    the reduce_window path and 'pairwise' is opt-in."""
+    the reduce_window path and 'pairwise' is opt-in.  'depth2d' splits a
+    5D pool into a 2D (H, W) reduce_window + a leading-axis depth select
+    (no minor-axis reshape, unlike 'pairwise') — measured WIN on v5e
+    (scripts/tpu_r4_session.py: UNet3D 'gcr' f64 b1 91.3 → 86.2 ms/step,
+    f32 b2 95.6 → 93.4; the 2D windowed ops keep the slab-conv layout, so
+    the pool-boundary relayout copies shrink), so 'auto' = depth2d on TPU
+    for eligible 5D pools and native elsewhere."""
     mode = os.environ.get("TPUSEG_POOL", "auto")
     if mode not in _POOL_MODES:
         raise ValueError(
@@ -102,6 +108,49 @@ def _max_pool_pairwise(x: jax.Array, win: Tuple[int, ...]) -> jax.Array:
     return xr
 
 
+def _max_pool_depth2d(
+    x: jax.Array, win: Tuple[int, ...], strd: Tuple[int, ...], pads
+) -> jax.Array:
+    """5D max pool as a 2D (H, W) ``reduce_window`` + leading-axis depth
+    select.
+
+    The native 3D window forces its own 5D layout at the pool boundary
+    (profiled relayout copies around ``select_and_scatter``, PERF.md); here
+    the windowed op is the same 2D reduce_window the conv path's slab
+    tensors already use, and the depth reduction is a (N, D) → (N, D/wd,
+    wd) *leading-axis* reshape + first-wins selects — no sublane movement
+    (the 'pairwise' mode's W-axis reshape was the measured cost).
+
+    Tie semantics match native/torch exactly: the 2D pool routes to the
+    first (h, w) max per depth plane, and the depth select keeps the
+    lowest d on plane-max ties — the composition routes the gradient to
+    the first max in row-major (d, h, w) window scan order, identical to
+    ``select_and_scatter``'s ge-select.  Same NaN caveat as the pairwise
+    mode (``where(acc >= nxt)`` picks nxt when acc is NaN).
+    """
+    n, d = x.shape[:2]
+    wd = win[0]
+    init = (
+        -jnp.inf
+        if jnp.issubdtype(x.dtype, jnp.floating)
+        else jnp.iinfo(x.dtype).min
+    )
+    y = lax.reduce_window(
+        x,
+        init,
+        lax.max,
+        window_dimensions=(1, 1, win[1], win[2], 1),
+        window_strides=(1, 1, strd[1], strd[2], 1),
+        padding=((0, 0), (0, 0), pads[1], pads[2], (0, 0)),
+    )
+    yr = y.reshape(n, d // wd, wd, *y.shape[2:])
+    acc = lax.index_in_dim(yr, 0, 2, keepdims=False)
+    for j in range(1, wd):
+        nxt = lax.index_in_dim(yr, j, 2, keepdims=False)
+        acc = jnp.where(acc >= nxt, acc, nxt)
+    return acc
+
+
 def max_pool_nd(
     x: jax.Array,
     window: IntOrSeq,
@@ -133,14 +182,25 @@ def max_pool_nd(
 
     if x.dtype == jnp.bool_:
         x = x.astype(jnp.int8)
+    mode = _pool_mode()
     if (
-        _pool_mode() == "pairwise"
+        mode == "pairwise"
         and win == strd
         and all(p == (0, 0) for p in pads)
     ):
         # pads all-zero with win == strd implies every spatial dim divides
         # evenly (ceil_mode included) — the pairwise form is exact here.
         return _max_pool_pairwise(x, win)
+    if (
+        (mode == "depth2d"
+         or (mode == "auto" and jax.default_backend() == "tpu"))
+        and nsp == 3
+        and win[0] > 1
+        and win[0] == strd[0]
+        and pads[0] == (0, 0)
+        and x.shape[1] % win[0] == 0
+    ):
+        return _max_pool_depth2d(x, win, strd, pads)
     init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(
         x,

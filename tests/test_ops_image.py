@@ -74,6 +74,43 @@ def test_max_pool_pairwise_bit_exact_vs_native(shape, win, monkeypatch):
     np.testing.assert_array_equal(gn, gp)
 
 
+@pytest.mark.parametrize(
+    "shape,win",
+    [
+        ((2, 8, 16, 16, 4), (2, 2, 2)),
+        ((1, 9, 12, 12, 2), (3, 3, 3)),   # dividing depth 9/3
+        ((2, 7, 16, 16, 4), (2, 2, 2)),   # non-dividing depth -> native fallback
+        ((2, 8, 17, 17, 4), (2, 2, 2)),   # floor-mode H/W tail crop
+    ],
+)
+def test_max_pool_depth2d_bit_exact_vs_native(shape, win, monkeypatch):
+    """The depth2d decomposition (2D reduce_window + leading-axis depth
+    select, TPUSEG_POOL=depth2d) must be bit-exact vs the native 3D
+    reduce_window/select_and_scatter path in BOTH forward and gradient,
+    including tie-heavy inputs (composition routes ties to the first max
+    in row-major (d, h, w) window scan order — torch semantics)."""
+    import jax
+
+    from mdeical_image_segmentation_tpu.ops.image import max_pool_nd
+
+    x = np.random.default_rng(0).standard_normal(shape).astype(np.float32)
+    x[..., ::2] = np.round(x[..., ::2] * 2) / 2  # force many exact ties
+    gy = None
+
+    def run(mode):
+        nonlocal gy
+        monkeypatch.setenv("TPUSEG_POOL", mode)
+        y, vjp = jax.vjp(lambda x: max_pool_nd(x, win), jnp.asarray(x))
+        if gy is None:
+            gy = np.random.default_rng(1).standard_normal(y.shape).astype(np.float32)
+        return np.asarray(y), np.asarray(vjp(jnp.asarray(gy))[0])
+
+    yn, gn = run("native")
+    yd, gd = run("depth2d")
+    np.testing.assert_array_equal(yn, yd)
+    np.testing.assert_array_equal(gn, gd)
+
+
 def test_max_pool_pairwise_grad_matches_torch(monkeypatch):
     """Tie-breaking in the pairwise backward must match torch's MaxPool2d
     (whole gradient to the first max in row-major window order)."""
