@@ -74,6 +74,7 @@ class _AbstractPredictor:
         apply_activation: bool = False,
         quantize: Optional[str] = None,
         calib_batches: int = 1,
+        tta: Optional[str] = None,
         **kwargs,
     ):
         self.model = model
@@ -92,6 +93,20 @@ class _AbstractPredictor:
         # v5e — PERF.md).  The reference has no quantized inference.
         self.quantize = quantize
         self.calib_batches = max(1, int(calib_batches))
+        # Mirror test-time augmentation (TPU extension — the reference has no
+        # TTA): the patch forward averages the raw network output over every
+        # combination of spatial flips, flipped back into place.  Flips are
+        # free layout ops on device and the whole ensemble stays inside one
+        # jitted program.  'mirror' = all spatial axes (8 passes for 3D, 4
+        # for 2D); 'mirror-hw' = H/W only (4 passes — the right choice for
+        # anisotropic volumes where a z-flip is not a symmetry).  Averaging
+        # is in the accumulated-output space (logits unless
+        # apply_activation): probabilities derived from the averaged logits.
+        if tta not in (None, "mirror", "mirror-hw"):
+            raise ValueError(
+                f"predictor tta={tta!r}: expected 'mirror' or 'mirror-hw'"
+            )
+        self.tta = tta
         self._quant_scales: Dict[str, Any] = {}
         self._calib_seen = 0
         self._forward = None
@@ -101,11 +116,47 @@ class _AbstractPredictor:
         model = self.model
         is2d = not getattr(model, "is3d", True)
         apply_activation = self.apply_activation
+        tta = self.tta
+
+        if tta is None:
+            flip_combos = None
+        else:
+            # model-rank spatial axes: (N, H, W, C) for 2D (z squeezed),
+            # (N, D, H, W, C) for 3D; 'mirror-hw' skips the depth axis.
+            if is2d:
+                axes = (1, 2)
+            else:
+                axes = (2, 3) if tta == "mirror-hw" else (1, 2, 3)
+            from itertools import combinations
+
+            flip_combos = [
+                list(c)
+                for r in range(len(axes) + 1)
+                for c in combinations(axes, r)
+            ]
 
         def raw_apply(variables, x, **kw):
             if is2d:
                 x = jnp.squeeze(x, axis=1)
-            return model.apply(variables, x, False, **kw)
+            if flip_combos is None:
+                return model.apply(variables, x, False, **kw)
+            # mirror TTA: mean over flip ensemble, each output un-flipped.
+            # In 'calib' quant mode kw carries mutable=["quant"]; the
+            # activation-absmax collection is threaded through the passes so
+            # calibration observes every flip variant.
+            mutable = kw.pop("mutable", False)
+            vs, upd, acc = variables, None, None
+            for c in flip_combos:
+                xa = jnp.flip(x, axis=c) if c else x
+                if mutable:
+                    o, upd = model.apply(vs, xa, False, mutable=mutable, **kw)
+                    vs = {**vs, **upd}
+                else:
+                    o = model.apply(vs, xa, False, **kw)
+                o = jnp.flip(o, axis=c) if c else o
+                acc = o if acc is None else acc + o
+            out = acc / len(flip_combos)
+            return (out, upd) if mutable else out
 
         def postprocess(out):
             if is2d:
@@ -396,6 +447,10 @@ class DSB2018Predictor(_AbstractPredictor):
     def __init__(self, model, variables, output_dir, out_channels=1,
                  save_segmentation=True, pmaps_thershold=0.5, **kwargs):
         super().__init__(model, variables, output_dir, out_channels, **kwargs)
+        if self.tta is not None:
+            # this predictor builds its own per-image forward and would
+            # silently ignore the flag otherwise
+            raise ValueError("tta is not supported by DSB2018Predictor")
         self.pmaps_threshold = pmaps_thershold
         self.save_segmentation = save_segmentation
 

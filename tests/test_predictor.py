@@ -100,6 +100,73 @@ class TestStandardPredictor:
                 quantize="fp8",
             )
 
+    @pytest.mark.parametrize("mode,naxes", [("mirror", 3), ("mirror-hw", 2)])
+    def test_tta_matches_manual_flip_ensemble(
+        self, model_and_vars, tmp_path, mode, naxes
+    ):
+        """tta='mirror'/'mirror-hw' must equal the hand-computed mean over
+        all 2^k spatial-flip passes (each un-flipped back into place)."""
+        from itertools import combinations
+
+        import jax.numpy as jnp
+
+        model, variables = model_and_vars
+        x = np.random.RandomState(3).rand(2, 8, 64, 64, 1).astype(np.float32)
+        pred = StandardPredictor(
+            model, variables, str(tmp_path), out_channels=2, tta=mode
+        )
+        got = pred._predict_batch(x)
+
+        axes = (1, 2, 3) if mode == "mirror" else (2, 3)
+        assert len(axes) == naxes
+        outs = []
+        for r in range(len(axes) + 1):
+            for c in combinations(axes, r):
+                xa = jnp.flip(jnp.asarray(x), axis=list(c)) if c else jnp.asarray(x)
+                o = model.apply(variables, xa, False)
+                outs.append(np.asarray(jnp.flip(o, axis=list(c)) if c else o))
+        want = np.mean(outs, axis=0)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+        # sanity: the ensemble differs from the single-pass forward
+        single = np.asarray(model.apply(variables, jnp.asarray(x), False))
+        assert np.abs(want - single).max() > 1e-4
+
+    def test_tta_e2e_volume_and_int8_composition(
+        self, model_and_vars, volume_file, tmp_path
+    ):
+        """Full sliding-window pipeline with TTA on, composed with int8 PTQ
+        (the flip ensemble runs inside the quant context; calibration
+        threads its absmax collection through every flip pass)."""
+        model, variables = model_and_vars
+        out_t = str(tmp_path / "t")
+        out_q = str(tmp_path / "q")
+        os.makedirs(out_t), os.makedirs(out_q)
+        ft = StandardPredictor(
+            model, variables, out_t, out_channels=2, tta="mirror-hw"
+        )(_loader(volume_file))
+        with h5py.File(ft, "r") as f:
+            a = f["predictions"][:]
+        assert a.shape == (2, 16, 96, 96) and np.isfinite(a).all()
+        fq = StandardPredictor(
+            model, variables, out_q, out_channels=2, tta="mirror-hw",
+            quantize="int8", calib_batches=1,
+        )(_loader(volume_file))
+        with h5py.File(fq, "r") as f:
+            b = f["predictions"][:]
+        assert np.isfinite(b).all()
+        assert (a.argmax(0) == b.argmax(0)).mean() > 0.95
+
+    def test_tta_rejects_unknown_mode_and_dsb(self, model_and_vars, tmp_path):
+        model, variables = model_and_vars
+        with pytest.raises(ValueError, match="tta"):
+            StandardPredictor(
+                model, variables, str(tmp_path), out_channels=2, tta="rot90"
+            )
+        with pytest.raises(ValueError, match="tta"):
+            DSB2018Predictor(
+                model, variables, str(tmp_path), tta="mirror"
+            )
+
     def test_overlap_average_consistency(self, model_and_vars, volume_file, tmp_path):
         """Overlapping strides must give the same result as exact tiling for a
         deterministic model (averaging identical patch predictions in the
