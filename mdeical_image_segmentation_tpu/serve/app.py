@@ -70,14 +70,20 @@ class ModelRegistry:
 
     def register_unet2d(self, name: str, path: str, *, threshold: float = 0.5,
                         resolution: int = 512, default: bool = False,
-                        quantize: Optional[str] = None, calib_batches: int = 1):
+                        quantize: Optional[str] = None, calib_batches: int = 1,
+                        tta: bool = False):
         """Load a 2D bundle saved with UNetModel.save_pretrained.
 
         ``quantize='int8'`` serves through the W8A8 conv path (ops/quant.py,
         measured 1.42x forward on v5e — PERF.md): the first
         ``calib_batches`` request batches run the float forward while
         collecting activation scales, then the s8 path takes over.  Safe
-        here because each model has exactly one engine worker thread."""
+        here because each model has exactly one engine worker thread.
+
+        ``tta=True`` serves a mirror flip ensemble (4 passes over H/W,
+        averaged in logit space before the final activation — the same
+        contract as the sliding-window predictor's ``tta='mirror'``); a
+        quality-over-latency knob that composes with ``quantize``."""
         import jax
         import jax.numpy as jnp
 
@@ -86,9 +92,9 @@ class ModelRegistry:
         if quantize not in (None, "int8"):
             raise ValueError(f"quantize={quantize!r}: expected 'int8'")
         model, variables = UNetModel.from_pretrained(path)
+        combos = [[], [1], [2], [1, 2]] if tta else [[]]
 
-        def probs(out):
-            logits = out.logits
+        def probs(logits):
             # CGM returns probabilities already; others return logits
             if model.config.unet_type.endswith("CGM"):
                 return logits
@@ -96,27 +102,43 @@ class ModelRegistry:
                 return jax.nn.softmax(logits, axis=-1)
             return jax.nn.sigmoid(logits)
 
+        def ens_logits(v, x, **kw):
+            """Flip-ensemble logits (a single pass when tta is off).  In
+            'calib' quant mode kw carries mutable=["quant"]; the absmax
+            collection threads through the passes (cf. infer/predictor)."""
+            mutable = kw.pop("mutable", False)
+            vs, upd, acc = v, None, None
+            for c in combos:
+                xa = jnp.flip(x, axis=c) if c else x
+                if mutable:
+                    out, upd = model.apply(vs, xa, None, train=False,
+                                           mutable=mutable, **kw)
+                    vs = {**vs, **upd}
+                else:
+                    out = model.apply(vs, xa, None, train=False, **kw)
+                o = jnp.flip(out.logits, axis=c) if c else out.logits
+                acc = o if acc is None else acc + o
+            logits = acc / len(combos)
+            return (logits, upd) if mutable else logits
+
         @jax.jit
         def forward(x):
-            return probs(model.apply(variables, x, None, train=False))
+            return probs(ens_logits(variables, x))
 
         if quantize == "int8":
             from ..ops import quant as _q
 
-            def raw_apply(v, x, **kw):
-                return model.apply(v, x, None, train=False, **kw)
-
             @jax.jit
             def calib_fwd(v, q, x):
-                out, upd = _q.wrap_apply(raw_apply, "calib")(
+                logits, upd = _q.wrap_apply(ens_logits, "calib")(
                     {**v, "quant": q}, x, mutable=["quant"]
                 )
-                return probs(out), upd["quant"]
+                return probs(logits), upd["quant"]
 
             @jax.jit
             def int8_fwd(v, q, x):
                 return probs(
-                    _q.wrap_apply(raw_apply, "int8")({**v, "quant": q}, x)
+                    _q.wrap_apply(ens_logits, "int8")({**v, "quant": q}, x)
                 )
 
             state = {"seen": 0, "scales": {}}

@@ -25,7 +25,7 @@ def main():
     parser.add_argument(
         "--unet2d", action="append", default=[],
         help="name=<model name>,path=<save_pretrained dir>[,resolution=512]"
-             "[,quantize=int8][,calib_batches=1]"
+             "[,quantize=int8][,calib_batches=1][,tta=1]"
     )
     parser.add_argument(
         "--sam", action="append", default=[],
@@ -51,6 +51,7 @@ def main():
             kv["name"], kv["path"], resolution=int(kv.get("resolution", 512)),
             quantize=kv.get("quantize"),
             calib_batches=int(kv.get("calib_batches", 1)),
+            tta=kv.get("tta", "0").lower() in ("1", "true", "yes"),
         )
     for spec in args.sam:
         kv = dict(item.split("=", 1) for item in spec.split(","))

@@ -413,3 +413,39 @@ def test_register_unet2d_int8_quantized(tmp_path):
     pf, pq = f(x2), q(x2)
     assert np.abs(pf - pq).max() < 0.1
     assert ((pf > 0.5) == (pq > 0.5)).mean() > 0.98
+
+
+def test_register_unet2d_tta_mirror(tmp_path):
+    """tta=True serves sigmoid(mean over the 4 H/W flip-ensemble logits),
+    each pass un-flipped back into place — verified against a hand-computed
+    ensemble; composes with quantize='int8' (calibration pass = float)."""
+    model = UNetModel(
+        UNetConfig(in_channels=1, out_channels=1, unet_type="UNet",
+                   base_features=16)
+    )
+    variables = model.init(jax.random.PRNGKey(2), jnp.zeros((1, 64, 64, 1)))
+    path = str(tmp_path / "bundle")
+    model.save_pretrained(path, variables)
+
+    registry = ModelRegistry()
+    registry.register_unet2d("tta", path, resolution=64, tta=True)
+    registry.register_unet2d("tta_int8", path, resolution=64, tta=True,
+                             quantize="int8")
+
+    x = np.random.RandomState(9).rand(2, 64, 64, 1).astype(np.float32)
+    got = registry.get("tta").forward(x)
+
+    outs = []
+    for c in ([], [1], [2], [1, 2]):
+        xa = jnp.flip(jnp.asarray(x), axis=c) if c else jnp.asarray(x)
+        o = model.apply(variables, xa, None, train=False).logits
+        outs.append(np.asarray(jnp.flip(o, axis=c) if c else o))
+    want = jax.nn.sigmoid(jnp.asarray(np.mean(outs, axis=0)))
+    np.testing.assert_allclose(got, np.asarray(want), rtol=2e-5, atol=2e-5)
+    # ensemble must differ from the plain single-pass serving forward
+    single = np.asarray(jax.nn.sigmoid(
+        model.apply(variables, jnp.asarray(x), None, train=False).logits))
+    assert np.abs(got - single).max() > 1e-4
+    # int8+tta: calibration request is the float ensemble — matches exactly
+    np.testing.assert_allclose(
+        registry.get("tta_int8").forward(x), got, atol=1e-5)
