@@ -121,42 +121,29 @@ class _AbstractPredictor:
         if tta is None:
             flip_combos = None
         else:
+            from ..ops.tta import mirror_combos
+
             # model-rank spatial axes: (N, H, W, C) for 2D (z squeezed),
             # (N, D, H, W, C) for 3D; 'mirror-hw' skips the depth axis.
             if is2d:
                 axes = (1, 2)
             else:
                 axes = (2, 3) if tta == "mirror-hw" else (1, 2, 3)
-            from itertools import combinations
-
-            flip_combos = [
-                list(c)
-                for r in range(len(axes) + 1)
-                for c in combinations(axes, r)
-            ]
+            flip_combos = mirror_combos(axes)
 
         def raw_apply(variables, x, **kw):
             if is2d:
                 x = jnp.squeeze(x, axis=1)
             if flip_combos is None:
                 return model.apply(variables, x, False, **kw)
-            # mirror TTA: mean over flip ensemble, each output un-flipped.
-            # In 'calib' quant mode kw carries mutable=["quant"]; the
-            # activation-absmax collection is threaded through the passes so
-            # calibration observes every flip variant.
-            mutable = kw.pop("mutable", False)
-            vs, upd, acc = variables, None, None
-            for c in flip_combos:
-                xa = jnp.flip(x, axis=c) if c else x
-                if mutable:
-                    o, upd = model.apply(vs, xa, False, mutable=mutable, **kw)
-                    vs = {**vs, **upd}
-                else:
-                    o = model.apply(vs, xa, False, **kw)
-                o = jnp.flip(o, axis=c) if c else o
-                acc = o if acc is None else acc + o
-            out = acc / len(flip_combos)
-            return (out, upd) if mutable else out
+            # mirror TTA (ops/tta.py): mean over the flip ensemble, each
+            # output un-flipped; threads the calib quant collection.
+            from ..ops.tta import flip_ensemble
+
+            return flip_ensemble(
+                lambda v, xx, **k: model.apply(v, xx, False, **k),
+                flip_combos, variables, x, **kw,
+            )
 
         def postprocess(out):
             if is2d:
@@ -447,10 +434,12 @@ class DSB2018Predictor(_AbstractPredictor):
     def __init__(self, model, variables, output_dir, out_channels=1,
                  save_segmentation=True, pmaps_thershold=0.5, **kwargs):
         super().__init__(model, variables, output_dir, out_channels, **kwargs)
+        # this predictor builds its own per-image forward and would silently
+        # ignore these flags otherwise
         if self.tta is not None:
-            # this predictor builds its own per-image forward and would
-            # silently ignore the flag otherwise
             raise ValueError("tta is not supported by DSB2018Predictor")
+        if self.quantize is not None:
+            raise ValueError("quantize is not supported by DSB2018Predictor")
         self.pmaps_threshold = pmaps_thershold
         self.save_segmentation = save_segmentation
 

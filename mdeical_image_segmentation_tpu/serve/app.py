@@ -81,18 +81,21 @@ class ModelRegistry:
         here because each model has exactly one engine worker thread.
 
         ``tta=True`` serves a mirror flip ensemble (4 passes over H/W,
-        averaged in logit space before the final activation — the same
-        contract as the sliding-window predictor's ``tta='mirror'``); a
-        quality-over-latency knob that composes with ``quantize``."""
+        averaged in the accumulated-output space — logits, except CGM-type
+        models whose forward already applies the gate — before the final
+        activation, the same contract as the sliding-window predictor's
+        ``tta='mirror'``); a quality-over-latency knob that composes with
+        ``quantize``."""
         import jax
         import jax.numpy as jnp
 
         from ..models import UNetModel
+        from ..ops.tta import flip_ensemble, mirror_combos
 
         if quantize not in (None, "int8"):
             raise ValueError(f"quantize={quantize!r}: expected 'int8'")
         model, variables = UNetModel.from_pretrained(path)
-        combos = [[], [1], [2], [1, 2]] if tta else [[]]
+        combos = mirror_combos((1, 2)) if tta else [[]]
 
         def probs(logits):
             # CGM returns probabilities already; others return logits
@@ -103,27 +106,13 @@ class ModelRegistry:
             return jax.nn.sigmoid(logits)
 
         def ens_logits(v, x, **kw):
-            """Flip-ensemble logits (a single pass when tta is off).  In
-            'calib' quant mode kw carries mutable=["quant"]; the absmax
-            collection threads through the passes (cf. infer/predictor)."""
-            mutable = kw.pop("mutable", False)
-            vs, upd, acc = v, None, None
-            for c in combos:
-                xa = jnp.flip(x, axis=c) if c else x
-                if mutable:
-                    out, upd = model.apply(vs, xa, None, train=False,
-                                           mutable=mutable, **kw)
-                    vs = {**vs, **upd}
-                else:
-                    out = model.apply(vs, xa, None, train=False, **kw)
-                o = jnp.flip(out.logits, axis=c) if c else out.logits
-                acc = o if acc is None else acc + o
-            logits = acc / len(combos)
-            return (logits, upd) if mutable else logits
-
-        @jax.jit
-        def forward(x):
-            return probs(ens_logits(variables, x))
+            # flip-ensemble logits (ops/tta.py; one identity pass when tta
+            # is off) — threads the int8 'calib' quant collection
+            return flip_ensemble(
+                lambda vv, xx, **k: model.apply(vv, xx, None, train=False,
+                                                **k),
+                combos, v, x, pick=lambda out: out.logits, **kw,
+            )
 
         if quantize == "int8":
             from ..ops import quant as _q
@@ -154,6 +143,10 @@ class ModelRegistry:
                     out = int8_fwd(variables, state["scales"], x)
                 return np.asarray(out)
         else:
+            @jax.jit
+            def forward(x):
+                return probs(ens_logits(variables, x))
+
             def np_forward(x):
                 return np.asarray(forward(jnp.asarray(x)))
 

@@ -15,6 +15,18 @@ small UNet (for smoke-testing the API without trained weights).
 import argparse
 
 
+def _parse_bool(key: str, value: str) -> bool:
+    """Strict truthy/falsy parse — a typo like tta=mirror must not silently
+    disable the option the user asked for."""
+    v = value.lower()
+    if v in ("1", "true", "yes", "on", "mirror"):
+        return True
+    if v in ("0", "false", "no", "off"):
+        return False
+    raise SystemExit(f"--unet2d {key}={value!r}: expected a boolean "
+                     "(1/0, true/false, yes/no, on/off)")
+
+
 def main():
     parser = argparse.ArgumentParser(description="tpuseg serving API")
     parser.add_argument("--host", default="0.0.0.0")
@@ -51,7 +63,7 @@ def main():
             kv["name"], kv["path"], resolution=int(kv.get("resolution", 512)),
             quantize=kv.get("quantize"),
             calib_batches=int(kv.get("calib_batches", 1)),
-            tta=kv.get("tta", "0").lower() in ("1", "true", "yes"),
+            tta=_parse_bool("tta", kv.get("tta", "0")),
         )
     for spec in args.sam:
         kv = dict(item.split("=", 1) for item in spec.split(","))
