@@ -156,6 +156,34 @@ class TestStandardPredictor:
         assert np.isfinite(b).all()
         assert (a.argmax(0) == b.argmax(0)).mean() > 0.95
 
+    def test_tta_2d_variant_model_z_squeeze(self, rng, tmp_path):
+        """For 2D-variant models (UNet2D — the predictor squeezes z), TTA
+        flips the post-squeeze H/W axes and re-expands the depth dim."""
+        from itertools import combinations
+
+        import jax.numpy as jnp
+
+        model = get_model(
+            {"name": "UNet2D", "in_channels": 1, "out_channels": 1,
+             "f_maps": 8, "num_levels": 2}
+        )
+        variables = model.init(rng, jnp.zeros((1, 64, 64, 1)), False)
+        x = np.random.RandomState(5).rand(2, 1, 64, 64, 1).astype(np.float32)
+        pred = StandardPredictor(
+            model, variables, str(tmp_path), out_channels=1, tta="mirror"
+        )
+        got = pred._predict_batch(x)
+
+        x2d = jnp.asarray(x[:, 0])
+        outs = []
+        for r in range(3):
+            for c in combinations((1, 2), r):
+                xa = jnp.flip(x2d, axis=list(c)) if c else x2d
+                o = model.apply(variables, xa, False)
+                outs.append(np.asarray(jnp.flip(o, axis=list(c)) if c else o))
+        want = np.mean(outs, axis=0)[:, None]
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
     def test_tta_rejects_unknown_mode_and_dsb(self, model_and_vars, tmp_path):
         model, variables = model_and_vars
         with pytest.raises(ValueError, match="tta"):
