@@ -234,10 +234,36 @@ def main():
     # extras at that overhead exceed the old 650 s budget.
     budget_s = float(os.environ.get("BENCH_BUDGET_S", 1500))
 
-    device = jax.devices()[0]
     # chip-claim barrier: tunnel claims vary 15 s - 20 min and would
-    # otherwise eat the whole extras budget before any measurement
-    _ = float(jnp.zeros((8, 8)).sum())
+    # otherwise eat the whole extras budget before any measurement.  The
+    # claim runs in a daemon thread with a hard timeout: during a chip
+    # outage backend init blocks in C indefinitely (observed 90+ min of
+    # UNAVAILABLE retries), and a structured error line beats a hang.
+    import threading
+
+    claim_timeout_s = float(os.environ.get("BENCH_CLAIM_TIMEOUT_S", 2700))
+    claimed: list = []
+
+    def _claim():
+        claimed.append(jax.devices()[0])
+        _ = float(jnp.zeros((8, 8)).sum())
+        claimed.append(True)
+
+    th = threading.Thread(target=_claim, daemon=True)
+    th.start()
+    th.join(claim_timeout_s)
+    if len(claimed) < 2:
+        print(json.dumps({
+            "metric": "unet2d_train_throughput_256px_base64_bf16",
+            "value": 0.0,
+            "unit": "slices/sec/chip",
+            "vs_baseline": 0.0,
+            "extra": {"error": "accelerator unavailable: backend init / "
+                               f"chip claim exceeded {claim_timeout_s:.0f}s "
+                               "(tunnel outage) — no measurement taken"},
+        }))
+        os._exit(2)
+    device = claimed[0]
     t_start = time.time()
     headline = bench_unet2d(base_features=64, batch=32, steps=40)
 
