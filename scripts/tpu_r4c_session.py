@@ -91,6 +91,7 @@ def main():
     # ---- pre-depth2d table rows, re-measured under the new default ----
     rows = [
         ("unet3d_f32_b2_5lvl", dict(f_maps=32, batch=2, num_levels=5), 20),
+        ("unet3d_f32_b4", dict(f_maps=32, batch=4), 12),
         ("unet3d_f64_b2", dict(f_maps=64, batch=2), 12),
         ("resunetse3d_f32_b2", dict(f_maps=32, batch=2, num_levels=5,
                                     model_name="ResidualUNetSE3D"), 20),
@@ -115,6 +116,30 @@ def main():
     fwd = jax.jit(lambda v, xx: (jnp.sum(model.apply(v, xx, False)),))
     log("unet3d_f32_b2_fwd_ms", round(time_fwd(fwd, variables, x), 2))
     del model, fwd, variables, x
+
+    # ---- mirror-TTA forward cost (8-pass ensemble vs single pass) ----
+    from itertools import combinations
+
+    model = get_model({"name": "UNet3D", "in_channels": 1, "out_channels": 1,
+                       "f_maps": 32, "num_levels": 4, "layer_order": "gcr",
+                       "dtype": jnp.bfloat16})
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 128, 128, 1),
+                    jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x[:1], False)
+    combos = [list(c) for r in range(4) for c in combinations((1, 2, 3), r)]
+
+    def tta_fwd(v, xx):
+        acc = None
+        for c in combos:
+            xa = jnp.flip(xx, axis=c) if c else xx
+            o = model.apply(v, xa, False)
+            o = jnp.flip(o, axis=c) if c else o
+            acc = o if acc is None else acc + o
+        return (jnp.sum(acc / len(combos)),)
+
+    log("tta8_f32_b2_fwd_ms", round(
+        time_fwd(jax.jit(tta_fwd), variables, x, steps=10), 2))
+    del model, variables, x
 
     # ---- int8 f64 b1 forward: was 0.76x NEGATIVE pre-depth2d ----
     from mdeical_image_segmentation_tpu.ops import quant
