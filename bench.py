@@ -243,24 +243,34 @@ def main():
 
     claim_timeout_s = float(os.environ.get("BENCH_CLAIM_TIMEOUT_S", 2700))
     claimed: list = []
+    claim_err: list = []
 
     def _claim():
-        claimed.append(jax.devices()[0])
-        _ = float(jnp.zeros((8, 8)).sum())
-        claimed.append(True)
+        try:
+            claimed.append(jax.devices()[0])
+            _ = float(jnp.zeros((8, 8)).sum())
+            claimed.append(True)
+        except Exception as e:  # report the real failure, not a fake timeout
+            claim_err.append(f"{type(e).__name__}: {e}")
 
     th = threading.Thread(target=_claim, daemon=True)
     th.start()
-    th.join(claim_timeout_s)
+    deadline = time.time() + claim_timeout_s
+    while th.is_alive() and time.time() < deadline:
+        th.join(5)
     if len(claimed) < 2:
+        reason = (
+            claim_err[0][:500]
+            if claim_err
+            else f"chip claim exceeded {claim_timeout_s:.0f}s (tunnel outage)"
+        )
         print(json.dumps({
             "metric": "unet2d_train_throughput_256px_base64_bf16",
             "value": 0.0,
             "unit": "slices/sec/chip",
             "vs_baseline": 0.0,
             "extra": {"error": "accelerator unavailable: backend init / "
-                               f"chip claim exceeded {claim_timeout_s:.0f}s "
-                               "(tunnel outage) — no measurement taken"},
+                               f"{reason} — no measurement taken"},
         }))
         os._exit(2)
     device = claimed[0]

@@ -111,6 +111,7 @@ class SingleConv(nn.Module):
         # HBM.  Param tree (GroupNorm_0/{scale,bias},
         # TorchConv_0/Conv_0/kernel) is identical to the unfused path below,
         # so checkpoints/torch imports are unaffected.
+        from ..ops import norm as _norm
         from ..ops import quant as _quant
 
         if (
@@ -120,6 +121,10 @@ class SingleConv(nn.Module):
             and ks == (3, 3, 3)
             and pad == [(1, 1)] * 3
             and _quant.mode() == "off"  # int8 PTQ routes via TorchConv
+            # cross-shard GroupNorm psums its stats over the spatial mesh
+            # axis inside ops.norm — the fused kernel computes local stats
+            # only, so it must stand aside to keep mesh-width exactness
+            and _norm._CROSS_SHARD_CTX is None
         ):
             from ..ops import fused_conv as _fc
 

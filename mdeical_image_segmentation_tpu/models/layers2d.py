@@ -258,11 +258,18 @@ class DoubleConvolution(nn.Module):
         from flax.linen import dtypes as flax_dtypes
 
         from ..ops import fused_conv as _fc
+        from ..ops import quant as _quant
 
         ci = x.shape[-1]
         cdtype = self.dtype or x.dtype
-        mode = _fc.fused_double2d_mode(
-            x.shape, cdtype, ci, self.features, self.features
+        # int8 PTQ calibrates/quantizes through TorchConv — the fused float
+        # kernel would silently bypass it, so it only engages with quant off.
+        mode = (
+            _fc.fused_double2d_mode(
+                x.shape, cdtype, ci, self.features, self.features
+            )
+            if _quant.mode() == "off"
+            else None
         )
         if mode is not None:
             w1, b1 = _ConvKBHolder(

@@ -66,11 +66,32 @@ def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
     global sharded array without ever materializing the global batch on any
     one host.  The loader must then yield ``global_batch / process_count``
     rows per process (BatchLoader's ``process_shard``)."""
+    n_data = mesh.shape[DATA_AXIS]
+    divisible = all(
+        np.ndim(v) == 0 or np.shape(v)[0] % n_data == 0
+        for v in batch.values()
+    )
     if jax.process_count() > 1:
+        if not divisible:
+            raise ValueError(
+                "multi-process shard_batch needs per-process rows assembling "
+                f"to a global batch divisible by the data axis ({n_data}); "
+                f"got shapes {[np.shape(v) for v in batch.values()]} — pad "
+                "or drop the tail batch on the loader side"
+            )
         return {
             k: jax.make_array_from_process_local_data(
                 batch_sharding(mesh, np.ndim(v)), np.asarray(v)
             )
+            for k, v in batch.items()
+        }
+    if not divisible:
+        # tail batch (typically the last eval batch): replicate instead of
+        # scatter — semantics stay exact (no padding bias in losses/metrics)
+        # at the cost of one extra compile for the odd shape and unsharded
+        # compute on that batch only.
+        return {
+            k: jax.device_put(v, replicated_sharding(mesh))
             for k, v in batch.items()
         }
     return {

@@ -525,7 +525,13 @@ class SegmentationServer:
                 # the same gray value regardless of which classes appear in
                 # this particular image; mask.max() is only the fallback when
                 # the class count isn't knowable from the probs tensor.
-                n_cls = probs.shape[-1] if probs.shape[-1] > 1 else 2
+                # promptable models return 2D (H, W) probs — binary mask, so
+                # the channel count there is 2, NOT probs.shape[-1] (= width)
+                n_cls = (
+                    probs.shape[-1]
+                    if probs.ndim == 3 and probs.shape[-1] > 1
+                    else 2
+                )
                 vis = mask * (255 // max(n_cls - 1, int(mask.max()), 1))
                 Image.fromarray(vis.astype(np.uint8)).save(mask_path)
                 response = mask_path

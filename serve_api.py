@@ -19,12 +19,14 @@ def _parse_bool(key: str, value: str) -> bool:
     """Strict truthy/falsy parse — a typo like tta=mirror must not silently
     disable the option the user asked for."""
     v = value.lower()
-    if v in ("1", "true", "yes", "on", "mirror"):
+    # 'mirror'/'mirror-hw' match the predictor config's tta spelling; for a
+    # 2D model both mean the same H/W flip ensemble serve runs with tta=1.
+    if v in ("1", "true", "yes", "on", "mirror", "mirror-hw"):
         return True
     if v in ("0", "false", "no", "off"):
         return False
     raise SystemExit(f"--unet2d {key}={value!r}: expected a boolean "
-                     "(1/0, true/false, yes/no, on/off)")
+                     "(1/0, true/false, yes/no, on/off, mirror, mirror-hw)")
 
 
 def main():

@@ -288,3 +288,98 @@ def test_mode_gate():
             os.environ.pop("TPUSEG_FUSED_CONV", None)
         else:
             os.environ["TPUSEG_FUSED_CONV"] = old
+
+
+def test_fused_double2d_stands_aside_under_quant():
+    """int8 PTQ routes every eligible conv through TorchConv's quant
+    stand-in; the fused float DoubleConvolution kernel must therefore not
+    engage in 'calib'/'int8' modes — otherwise quantize silently becomes a
+    no-op for the classic UNet's double convs (review finding, round 3).
+    Calibration under the forced fused path must collect the same scale
+    tree as with fusion off."""
+    from mdeical_image_segmentation_tpu.models import UNetConfig, UNetModel
+    from mdeical_image_segmentation_tpu.ops import quant
+
+    x = _rand((1, 32, 32, 1), seed=11)
+    model = UNetModel(
+        UNetConfig(in_channels=1, out_channels=1, unet_type="UNet",
+                   base_features=8)
+    )
+
+    def apply_fn(v, xx, **kw):
+        out = model.apply(v, xx, train=False, **kw)
+        if isinstance(out, tuple):  # mutable=["quant"] during calibration
+            res, upd = out
+            return res.logits, upd
+        return out.logits
+
+    old = os.environ.pop("TPUSEG_FUSED_CONV", None)
+    try:
+        os.environ["TPUSEG_FUSED_CONV"] = "off"
+        variables = model.init(jax.random.PRNGKey(0), x)
+        scales_ref = quant.calibrate(apply_fn, variables, [(x,)])
+        y_ref = quant.wrap_apply(apply_fn, "int8")(
+            {**variables, **scales_ref}, x
+        )
+        os.environ["TPUSEG_FUSED_CONV"] = "interpret"
+        scales_fused = quant.calibrate(apply_fn, variables, [(x,)])
+        y_fused = quant.wrap_apply(apply_fn, "int8")(
+            {**variables, **scales_fused}, x
+        )
+    finally:
+        if old is None:
+            os.environ.pop("TPUSEG_FUSED_CONV", None)
+        else:
+            os.environ["TPUSEG_FUSED_CONV"] = old
+
+    assert jax.tree_util.tree_map(np.shape, scales_fused) == (
+        jax.tree_util.tree_map(np.shape, scales_ref)
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_fused), np.asarray(y_ref), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_fused_gcr_stands_aside_under_cross_shard_norm():
+    """cross_shard_group_stats psums GroupNorm statistics inside ops.norm;
+    the fused 'gcr' kernel computes LOCAL stats only, so it must stand
+    aside inside the context or the documented mesh-width invariance
+    silently breaks (review finding, round 3).  The forced fused path must
+    produce the same mesh-width-invariant result as the unfused one."""
+    from jax.sharding import Mesh
+
+    from mdeical_image_segmentation_tpu.models import get_model
+    from mdeical_image_segmentation_tpu.parallel.spatial import (
+        spatial_sharded_apply,
+    )
+
+    model = get_model(
+        {"name": "UNet3D", "in_channels": 1, "out_channels": 1, "f_maps": 8,
+         "num_levels": 2, "layer_order": "gcr"}
+    )
+    vol = jnp.asarray(
+        np.random.RandomState(7).rand(1, 8, 256, 32, 1), jnp.float32
+    )
+    variables = model.init(jax.random.PRNGKey(0), vol[:, :, :32], False)
+    mesh8 = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+
+    old = os.environ.pop("TPUSEG_FUSED_CONV", None)
+    try:
+        os.environ["TPUSEG_FUSED_CONV"] = "off"
+        ref = np.asarray(
+            spatial_sharded_apply(model, variables, vol, mesh1, halo=16,
+                                  shard_axis=2, cross_shard_norm=True)
+        )
+        os.environ["TPUSEG_FUSED_CONV"] = "interpret"
+        out8 = np.asarray(
+            spatial_sharded_apply(model, variables, vol, mesh8, halo=16,
+                                  shard_axis=2, cross_shard_norm=True)
+        )
+    finally:
+        if old is None:
+            os.environ.pop("TPUSEG_FUSED_CONV", None)
+        else:
+            os.environ["TPUSEG_FUSED_CONV"] = old
+
+    np.testing.assert_allclose(out8, ref, rtol=2e-5, atol=2e-6)

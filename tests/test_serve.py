@@ -261,6 +261,9 @@ def test_promptable_sam_serving(tmp_path):
 
     registry = ModelRegistry()
     registry.register_sam("sam", str(tmp_path / "sam"))
+    # threshold 0.0 → sigmoid probs all exceed it → all-ones mask, which
+    # pins the PNG gray scaling below
+    registry.register_sam("samall", str(tmp_path / "sam"), threshold=0.0)
     srv = SegmentationServer(registry, output_dir=str(tmp_path / "masks"))
     httpd = srv.start(host="127.0.0.1", port=0)
     port = httpd.server_address[1]
@@ -275,6 +278,17 @@ def test_promptable_sam_serving(tmp_path):
                                     "points": [[32, 32]]})
         assert status == 200, body
         assert os.path.exists(body["response"])
+
+        # mask PNG gray scaling: promptable probs are 2D (H, W), so the
+        # class count is 2 and a positive binary mask must render as 255 —
+        # NOT 255 // (width - 1) (review finding, round 3)
+        status, body = _post(port, {"image_path": str(img),
+                                    "model": "samall",
+                                    "points": [[32, 32]]})
+        assert status == 200, body
+        vis = np.asarray(Image.open(body["response"]))
+        assert vis.max() == 255 and set(np.unique(vis)) <= {0, 255}, (
+            np.unique(vis))
 
         # point + box prompt (second program variant)
         status, body = _post(port, {"image_path": str(img), "model": "sam",

@@ -232,3 +232,28 @@ def test_resume_does_not_overrun_max_epochs(volumes, tmp_path):
     # restored at the epoch-2 save point, then ran AT MOST 1 remaining epoch
     # (the pre-fix range loop would have run 3 more, ending at 5)
     assert t2.num_epochs <= 3, t2.num_epochs
+
+
+def test_shard_batch_tail_batch_replicates():
+    """Eval tail batches not divisible by the data-mesh width must not
+    crash (regression: 3D validation with a 2-patch val set on the
+    8-device mesh raised at device_put) — they fall back to replicated
+    sharding, keeping loss/metric semantics exact with no padding."""
+    import jax
+    import numpy as np
+
+    from mdeical_image_segmentation_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh()
+    n_data = mesh.shape[mesh_lib.DATA_AXIS]
+    assert n_data == 8
+
+    odd = {"input": np.ones((2, 4, 8, 8, 1), np.float32),
+           "target": np.ones((2, 4, 8, 8, 1), np.float32)}
+    sharded = mesh_lib.shard_batch(mesh, odd)
+    assert sharded["input"].shape == (2, 4, 8, 8, 1)
+    assert sharded["input"].sharding.is_fully_replicated
+
+    even = {"input": np.ones((8, 4, 8, 8, 1), np.float32)}
+    sharded = mesh_lib.shard_batch(mesh, even)
+    assert not sharded["input"].sharding.is_fully_replicated
