@@ -245,22 +245,38 @@ def main():
     claimed: list = []
     claim_err: list = []
 
+    deadline = time.time() + claim_timeout_s
+
     def _claim():
-        try:
-            claimed.append(jax.devices()[0])
-            _ = float(jnp.zeros((8, 8)).sum())
-            claimed.append(True)
-        except Exception as e:  # report the real failure, not a fake timeout
-            claim_err.append(f"{type(e).__name__}: {e}")
+        # During an outage backend init fails fast with UNAVAILABLE and jax
+        # caches the failed backend — keep retrying (with a backend reset)
+        # until the deadline so a transient outage doesn't burn the round's
+        # one driver-graded bench run.
+        while time.time() < deadline:
+            try:
+                del claimed[:]  # drop any device from a failed attempt
+                claimed.append(jax.devices()[0])
+                _ = float(jnp.zeros((8, 8)).sum())
+                claimed.append(True)
+                return
+            except Exception as e:  # report the real failure, not a timeout
+                claim_err.append(f"{type(e).__name__}: {e}")
+                try:
+                    import jax.extend.backend as _jeb
+
+                    _jeb.clear_backends()
+                except Exception:
+                    return  # can't reset → retrying is pointless
+                time.sleep(min(60, max(1, deadline - time.time())))
 
     th = threading.Thread(target=_claim, daemon=True)
     th.start()
-    deadline = time.time() + claim_timeout_s
     while th.is_alive() and time.time() < deadline:
         th.join(5)
     if len(claimed) < 2:
         reason = (
-            claim_err[0][:500]
+            claim_err[-1][:500]
+            + (f" ({len(claim_err)} attempts)" if len(claim_err) > 1 else "")
             if claim_err
             else f"chip claim exceeded {claim_timeout_s:.0f}s (tunnel outage)"
         )
