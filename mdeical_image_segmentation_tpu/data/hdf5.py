@@ -311,10 +311,15 @@ class LazyHDF5Dataset(AbstractHDF5Dataset):
             return f[self.weight_internal_path][idx]
 
     def get_raw_padded_patch(self, idx):
+        # memo key includes the halo: a bare "raw_padded" (the reference's
+        # key, hdf5.py) silently returns stale pads when the same file is
+        # re-predicted with a different halo_shape — truncated edge patches
+        # or shifted interiors, no error
+        key = "raw_padded_" + "x".join(str(h) for h in self.halo_shape)
         with h5py.File(self.file_path, "r+") as f:
-            if "raw_padded" in f:
-                return f["raw_padded"][idx]
+            if key in f:
+                return f[key][idx]
             raw = f[self.raw_internal_path][:]
             raw_padded = mirror_pad(raw, self.halo_shape)
-            f.create_dataset("raw_padded", data=raw_padded, compression="gzip")
+            f.create_dataset(key, data=raw_padded, compression="gzip")
             return raw_padded[idx]

@@ -16,6 +16,7 @@ take the final global batch size.
 from __future__ import annotations
 
 import collections.abc
+import os
 import queue
 import threading
 from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
@@ -109,6 +110,18 @@ class VolumeLoader:
             return max(n // self.batch_size, 1) if n else 0
         return -(-n // self.batch_size)
 
+    def close(self):
+        """Release the worker thread pool (also runs on GC)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def __iter__(self) -> Iterator[Any]:
         n = len(self.dataset)
         if self.shuffle:
@@ -150,25 +163,45 @@ class VolumeLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        cancel = threading.Event()  # set when the consumer abandons us
+
+        def _put(item) -> bool:
+            """Bounded put that gives up when the iterator was abandoned —
+            otherwise a discarded iterator (e.g. trainer3d's validate_iters
+            early break) pins this thread on a full queue forever, holding
+            assembled volumetric batches (same fix as BatchLoader)."""
+            while not cancel.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             # propagate assembly failures to the consumer instead of
             # silently ending the epoch on truncated data
             try:
                 for idx in batches:
-                    q.put(assemble(idx))
-                q.put(stop)
+                    if cancel.is_set() or not _put(assemble(idx)):
+                        return
+                _put(stop)
             except BaseException as exc:  # noqa: BLE001
-                q.put(exc)
+                _put(exc)
 
         threading.Thread(target=producer, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # runs on StopIteration AND on GeneratorExit (abandoned
+            # iterator): unblocks the producer so it can exit
+            cancel.set()
 
 
 def _dataset_class(loaders_config: Dict[str, Any]):
@@ -193,9 +226,22 @@ def get_train_loaders(config: Dict[str, Any], n_devices: int = 1) -> Dict[str, V
     logger.info("assembling train/val loaders")
     dataset_class = _dataset_class(loaders_config)
 
-    assert set(loaders_config["train"]["file_paths"]).isdisjoint(
-        loaders_config["val"]["file_paths"]
-    ), "train and val file_paths intersect — the val volumes would leak into training"
+    # leakage guard on the EXPANDED file lists: comparing the raw config
+    # strings would miss a val file listed inside a train directory
+    from .volume_utils import traverse_h5_paths
+
+    train_files = {
+        os.path.realpath(p)
+        for p in traverse_h5_paths(loaders_config["train"]["file_paths"])
+    }
+    val_files = {
+        os.path.realpath(p)
+        for p in traverse_h5_paths(loaders_config["val"]["file_paths"])
+    }
+    assert train_files.isdisjoint(val_files), (
+        "train and val file_paths intersect — the val volumes would leak "
+        f"into training: {sorted(train_files & val_files)}"
+    )
 
     train_datasets = dataset_class.create_datasets(loaders_config, phase="train")
     val_datasets = dataset_class.create_datasets(loaders_config, phase="val")

@@ -134,9 +134,23 @@ class FilterSliceBuilder(SliceBuilder):
             return foreground > threshold or rescue_rng.rand() < slack_acceptance
 
         logger.info("filtering mostly-background patches")
-        kept = [p for p in zip(self.raw_slices, self.label_slices) if keep(p)]
-        self._raw_slices = [raw for raw, _ in kept]
-        self._label_slices = [label for _, label in kept]
+        keep_mask = [
+            keep(p) for p in zip(self.raw_slices, self.label_slices)
+        ]
+        self._raw_slices = [
+            s for s, k in zip(self.raw_slices, keep_mask) if k
+        ]
+        self._label_slices = [
+            s for s, k in zip(self.label_slices, keep_mask) if k
+        ]
+        if self._weight_slices is not None:
+            # deliberate fix over the reference: it leaves weight slices
+            # UNfiltered (slice_builders.py filters raws/labels only), so a
+            # filtered index silently pairs each patch with a weight window
+            # from a different location — filter all three streams together
+            self._weight_slices = [
+                s for s, k in zip(self._weight_slices, keep_mask) if k
+            ]
 
 
 def get_slice_builder(raws, labels, weight_maps, config: Dict[str, Any]):

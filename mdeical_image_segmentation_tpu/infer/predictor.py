@@ -77,6 +77,12 @@ class _AbstractPredictor:
         tta: Optional[str] = None,
         **kwargs,
     ):
+        if kwargs:
+            # strict config contract (same policy as the env knobs): a typo
+            # like 'prediction_channels' must not silently disable a feature
+            raise ValueError(
+                f"unknown predictor config keys: {sorted(kwargs)}"
+            )
         self.model = model
         self.variables = variables
         self.output_dir = output_dir

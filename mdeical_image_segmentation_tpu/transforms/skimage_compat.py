@@ -98,7 +98,16 @@ def find_boundaries(
 
 
 def gaussian(image: np.ndarray, sigma: float = 1.0) -> np.ndarray:
-    """Float gaussian blur (skimage.filters.gaussian semantics: float image,
-    'nearest' border mode)."""
-    img = np.asarray(image, dtype=np.float64)
+    """Gaussian blur with skimage.filters.gaussian semantics ('nearest'
+    border mode), INCLUDING its img_as_float input conversion: integer
+    images are rescaled to [0, 1] by their dtype range before filtering
+    (a uint8 volume comes back in [0, 1], not [0, 255]) — matching what the
+    reference's GaussianBlur3D (transforms.py) sees from skimage."""
+    image = np.asarray(image)
+    if np.issubdtype(image.dtype, np.integer):
+        # img_as_float: unsigned → [0, 1], signed → [-1, 1], both by
+        # dividing by the dtype's positive max
+        img = image.astype(np.float64) / np.iinfo(image.dtype).max
+    else:
+        img = image.astype(np.float64)
     return ndimage.gaussian_filter(img, sigma=sigma, mode="nearest")

@@ -618,7 +618,10 @@ class Identity:
 @TRANSFORMS.register("RgbToLabel")
 class RgbToLabel:
     def __call__(self, img):
-        img = np.array(img)
+        # int64 up front: under numpy 2.x, `uint8_array * 65536` raises
+        # OverflowError (NEP-50 weak-scalar promotion) — the reference's
+        # identical expression only worked under numpy 1.x value promotion
+        img = np.array(img).astype(np.int64)
         assert img.ndim == 3 and img.shape[2] == 3
         return img[..., 0] * 65536 + img[..., 1] * 256 + img[..., 2]
 

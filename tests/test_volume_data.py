@@ -241,3 +241,143 @@ class TestLoaders:
         cd = ConcatDataset([a, b])
         assert len(cd) == 5
         assert [cd[i] for i in range(5)] == [1, 2, 3, 4, 5]
+
+
+class TestRound3ReviewRegressions:
+    """Regression coverage for the round-3 high-effort review findings."""
+
+    def test_rgb_to_label_uint8_numpy2(self):
+        # numpy 2.x NEP-50: uint8 * 65536 raises OverflowError unless the
+        # transform promotes first
+        from mdeical_image_segmentation_tpu.transforms.volume import RgbToLabel
+
+        img = np.array([[[1, 2, 3], [255, 255, 255]]], np.uint8)
+        out = RgbToLabel()(img)
+        assert out.dtype == np.int64
+        assert out[0, 0] == 1 * 65536 + 2 * 256 + 3
+        assert out[0, 1] == 255 * 65536 + 255 * 256 + 255
+
+    def test_filter_slice_builder_filters_weights_too(self):
+        vol = np.zeros((16, 64, 128))
+        label = np.zeros((16, 64, 128))
+        label[:, :, :64] = 1
+        weight = np.ones((16, 64, 128))
+        fsb = FilterSliceBuilder(
+            vol, label, weight, [16, 64, 64], [16, 64, 64], threshold=0.6,
+            slack_acceptance=0.0,
+        )
+        # the weight stream must be filtered in lockstep (the reference
+        # leaves it unfiltered, silently mispairing weights — fixed here)
+        assert len(fsb.weight_slices) == len(fsb.raw_slices) == 1
+        assert fsb.weight_slices[0] == fsb.raw_slices[0]
+
+    def test_lazy_padded_memo_keyed_on_halo(self, tmp_path):
+        import h5py
+
+        from mdeical_image_segmentation_tpu.data.hdf5 import LazyHDF5Dataset
+
+        path = str(tmp_path / "lazy.h5")
+        raw = np.random.RandomState(0).rand(16, 64, 64).astype("f4")
+        with h5py.File(path, "w") as f:
+            f.create_dataset("raw", data=raw)
+
+        def build(halo):
+            return LazyHDF5Dataset(
+                file_path=path, phase="test",
+                slice_builder_config={
+                    "name": "SliceBuilder",
+                    "patch_shape": [16, 64, 64],
+                    "stride_shape": [16, 64, 64],
+                    "halo_shape": list(halo),
+                },
+                transformer_config={
+                    "raw": [{"name": "ToTensor", "expand_dims": True}]
+                },
+            )
+
+        ds_a = build((2, 4, 4))
+        patch_a = ds_a[0][0]
+        ds_b = build((4, 8, 8))  # different halo, same file
+        patch_b = ds_b[0][0]
+        # a stale single-key memo returns the SMALLER pad for the second
+        # run → truncated patches; the keyed memo yields the right extents
+        assert patch_a.shape[:3] == (16 + 4, 64 + 8, 64 + 8)
+        assert patch_b.shape[:3] == (16 + 8, 64 + 16, 64 + 16)
+
+    def test_train_val_leak_detected_through_directories(self, tmp_path):
+        import h5py
+
+        from mdeical_image_segmentation_tpu.data.loaders import (
+            get_train_loaders,
+        )
+
+        d = tmp_path / "vols"
+        d.mkdir()
+        raw = np.random.RandomState(0).rand(16, 64, 64).astype("f4")
+        with h5py.File(str(d / "a.h5"), "w") as f:
+            f.create_dataset("raw", data=raw)
+            f.create_dataset("label", data=(raw > 0.5).astype("f4"))
+        cfg = {"loaders": {
+            "dataset": "StandardHDF5Dataset",
+            "train": {"file_paths": [str(d)],
+                      "slice_builder": {"name": "SliceBuilder",
+                                        "patch_shape": [16, 64, 64],
+                                        "stride_shape": [16, 64, 64]},
+                      "transformer": {"raw": [{"name": "ToTensor",
+                                               "expand_dims": True}],
+                                      "label": [{"name": "ToTensor",
+                                                 "expand_dims": True}]}},
+            "val": {"file_paths": [str(d / "a.h5")],
+                    "slice_builder": {"name": "SliceBuilder",
+                                      "patch_shape": [16, 64, 64],
+                                      "stride_shape": [16, 64, 64]},
+                    "transformer": {"raw": [{"name": "ToTensor",
+                                             "expand_dims": True}],
+                                    "label": [{"name": "ToTensor",
+                                               "expand_dims": True}]}},
+        }}
+        # the directory expands to the val file — the guard must fire
+        with pytest.raises(AssertionError, match="leak"):
+            get_train_loaders(cfg)
+
+    def test_volume_loader_abandoned_iterator_unpins_producer(self):
+        import threading
+        import time
+
+        from mdeical_image_segmentation_tpu.data.loaders import VolumeLoader
+
+        before = threading.active_count()
+        ds = [np.ones((2, 2), np.float32) * i for i in range(64)]
+        for _ in range(8):
+            loader = VolumeLoader(ds, batch_size=2, prefetch=1)
+            it = iter(loader)
+            next(it)  # single peek, then abandon
+            del it
+        deadline = time.time() + 10
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.1)
+        # producers noticed the abandonment and exited (pre-fix: 8 threads
+        # pinned forever on a full queue)
+        assert threading.active_count() <= before + 1
+
+    def test_predictor_rejects_unknown_config_keys(self):
+        from mdeical_image_segmentation_tpu.infer.predictor import (
+            StandardPredictor,
+        )
+
+        with pytest.raises(ValueError, match="prediction_channels"):
+            StandardPredictor(
+                None, None, None, 1, prediction_channels=1  # typo
+            )
+
+    def test_gaussian_rescales_integer_images(self):
+        from mdeical_image_segmentation_tpu.transforms.skimage_compat import (
+            gaussian,
+        )
+
+        img = np.full((8, 8), 255, np.uint8)
+        out = gaussian(img, sigma=1.0)
+        np.testing.assert_allclose(out, 1.0, atol=1e-6)
+        # float images keep their range
+        imgf = np.full((8, 8), 255.0, np.float32)
+        np.testing.assert_allclose(gaussian(imgf, 1.0), 255.0, atol=1e-3)
