@@ -266,9 +266,25 @@ class SkipLastTargetChannelWrapper:
 
 
 class SegmentationLoss:
-    """Hybrid F1 + MS-SSIM + IoU (2D; reference model/unet2d/loss.py:59-70)."""
+    """Hybrid F1 + MS-SSIM + IoU (2D; reference model/unet2d/loss.py:59-70).
+
+    Registered in the 3D loss registry for 2D-variant models: the 3D
+    trainer's z-squeeze path hands losses (N, 1, H, W, C) tensors, so a
+    singleton depth axis is squeezed back out before the 2D MS-SSIM (which
+    would otherwise see H=1 and reject the pyramid).  True-3D outputs are
+    rejected with a clear error — MS-SSIM here is inherently planar."""
 
     def __call__(self, input, target):
+        if input.ndim == 5:
+            if input.shape[1] != 1:
+                raise ValueError(
+                    "SegmentationLoss is 2D (F1 + MS-SSIM + IoU); got a "
+                    f"depth-{input.shape[1]} volume — use a 2D-variant "
+                    "model (UNet2D/ResidualUNet2D) or a volumetric loss"
+                )
+            input = jnp.squeeze(input, axis=1)
+        if target.ndim == 5:
+            target = jnp.squeeze(target, axis=1)
         return segmentation_loss(input, target)
 
 

@@ -258,6 +258,11 @@ class GenericAveragePrecision:
 
     def _filter_instances(self, input):
         if self.min_instance_size is not None:
+            # copy before zeroing: `input` may be a no-copy view of the
+            # caller's array (convert_to_numpy is np.asarray, unlike the
+            # reference's CUDA .cpu() which always copied) — in-place
+            # filtering would corrupt the caller's labels
+            input = np.array(input)
             labels, counts = np.unique(input, return_counts=True)
             for lab, count in zip(labels, counts):
                 if count < self.min_instance_size:

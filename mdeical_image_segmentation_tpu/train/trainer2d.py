@@ -172,6 +172,10 @@ class Trainer:
     def _num_train_steps(self) -> int:
         if self.args.max_steps > 0:
             return self.args.max_steps
+        if self.train_dataset is None:
+            # eval-only Trainer (evaluate() with no train set): the count
+            # only sizes the LR schedule, which such a state never steps
+            return 1
         steps_per_epoch = max(len(self.train_dataset) // self.train_batch, 1)
         return int(self.args.num_train_epochs * steps_per_epoch)
 
@@ -182,15 +186,25 @@ class Trainer:
         k = max(self.args.gradient_accumulation_steps, 1)
         opt_steps = -(-total_steps // k)
         warmup = int(self.args.warmup_ratio * opt_steps)
-        schedule = optax.join_schedules(
-            [
-                optax.linear_schedule(0.0, self.args.learning_rate, max(warmup, 1)),
-                optax.linear_schedule(
-                    self.args.learning_rate, 0.0, max(opt_steps - warmup, 1)
-                ),
-            ],
-            [max(warmup, 1)],
-        )
+        if warmup > 0:
+            schedule = optax.join_schedules(
+                [
+                    optax.linear_schedule(
+                        0.0, self.args.learning_rate, warmup
+                    ),
+                    optax.linear_schedule(
+                        self.args.learning_rate, 0.0,
+                        max(opt_steps - warmup, 1),
+                    ),
+                ],
+                [warmup],
+            )
+        else:
+            # HF get_linear_schedule_with_warmup(num_warmup_steps=0) starts
+            # at the FULL LR; a 1-step warmup stub would waste step 0 at LR 0
+            schedule = optax.linear_schedule(
+                self.args.learning_rate, 0.0, max(opt_steps, 1)
+            )
         opt = optax.adamw(
             schedule, b1=0.9, b2=0.999, eps=1e-8,
             weight_decay=self.args.weight_decay,
@@ -228,15 +242,9 @@ class Trainer:
         augment = self.args.augment
         aug_cfg = Augment2DConfig()
 
-        def train_step(state: TrainState, batch, rng):
-            step_rng = jax.random.fold_in(rng, state.step)
-            aug_rng, drop_rng = jax.random.split(step_rng)
-            # bf16 compute is governed by the model's compute_dtype
-            # (UNetConfig.compute_dtype) — params and loss stay fp32.
-            images = batch["images"]
-            labels = batch["labels"]
-            if augment:
-                images, labels = augment_batch(aug_rng, images, labels, aug_cfg)
+        def _apply_update(state: TrainState, images, labels, drop_rng):
+            """Shared grad+update body for the streaming and device-resident
+            train steps (only their batch sourcing differs)."""
 
             def loss_fn(params):
                 variables = {"params": params}
@@ -256,7 +264,9 @@ class Trainer:
             (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params
             )
-            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+            updates, new_opt = optimizer.update(
+                grads, state.opt_state, state.params
+            )
             new_params = optax.apply_updates(state.params, updates)
             new_state = state.replace(
                 step=state.step + 1,
@@ -265,6 +275,17 @@ class Trainer:
                 opt_state=new_opt,
             )
             return new_state, loss
+
+        def train_step(state: TrainState, batch, rng):
+            step_rng = jax.random.fold_in(rng, state.step)
+            aug_rng, drop_rng = jax.random.split(step_rng)
+            # bf16 compute is governed by the model's compute_dtype
+            # (UNetConfig.compute_dtype) — params and loss stay fp32.
+            images = batch["images"]
+            labels = batch["labels"]
+            if augment:
+                images, labels = augment_batch(aug_rng, images, labels, aug_cfg)
+            return _apply_update(state, images, labels, drop_rng)
 
         def _eval_forward(state: TrainState, batch):
             variables = {"params": state.params}
@@ -298,10 +319,21 @@ class Trainer:
             preds0 = quirky_sigmoid_jax(out.logits[0].astype(jnp.float32))
             return iou_sum, dice_sum, preds0
 
+        def eval_all_step(state: TrainState, batch, threshold, n_valid):
+            # single-pass eval for a FIXED threshold: loss + metric sums in
+            # one forward (the dynamic mean-threshold needs two passes)
+            out = _eval_forward(state, batch)
+            iou_sum, dice_sum = iou_dice_sums_jax(
+                out.logits, batch["labels"], threshold, n_valid
+            )
+            preds0 = quirky_sigmoid_jax(out.logits[0].astype(jnp.float32))
+            return out.loss, iou_sum, dice_sum, preds0
+
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
         self._eval_stats_step = jax.jit(eval_stats_step, out_shardings=rep)
         self._eval_metric_step = jax.jit(eval_metric_step, out_shardings=rep)
+        self._eval_all_step = jax.jit(eval_all_step, out_shardings=rep)
 
         def train_step_resident(state: TrainState, images_all, labels_all, rng):
             """Device-resident data path: gather a random uint8 minibatch in
@@ -321,32 +353,7 @@ class Trainer:
             labels = jax.lax.with_sharding_constraint(labels, constraint)
             if augment:
                 images, labels = augment_batch(aug_rng, images, labels, aug_cfg)
-
-            def loss_fn(params):
-                variables = {"params": params}
-                if has_bn:
-                    variables["batch_stats"] = state.batch_stats
-                    (out, mutated) = model.apply(
-                        variables, images, labels, train=True,
-                        rngs={"dropout": drop_rng}, mutable=["batch_stats"],
-                    )
-                    return out.loss, mutated["batch_stats"]
-                out = model.apply(
-                    variables, images, labels, train=True,
-                    rngs={"dropout": drop_rng},
-                )
-                return out.loss, state.batch_stats
-
-            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params
-            )
-            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            return (
-                state.replace(step=state.step + 1, params=new_params,
-                              batch_stats=new_bs, opt_state=new_opt),
-                loss,
-            )
+            return _apply_update(state, images, labels, drop_rng)
 
         self._train_step_resident = jax.jit(
             train_step_resident, donate_argnums=(0,)
@@ -616,36 +623,59 @@ class Trainer:
         whole eval set's logits anywhere.
         """
         n_total = len(dataset)
-        loss_sum, pred_sum, n_seen = 0.0, 0.0, 0
-        n_remaining = n_total
-        for batch in self._eval_loader(dataset):
-            sharded = mesh_lib.shard_batch(self.mesh, batch)
-            n_valid = min(n_remaining, self.eval_batch)
-            loss, psum = self._eval_stats_step(
-                self.state, sharded, jnp.int32(n_valid)
-            )
-            # per-batch loss is still computed over wrap-padded rows; weight
-            # by the valid count so the tail batch doesn't bias eval_loss
-            loss_sum += float(jax.device_get(loss)) * n_valid
-            pred_sum += float(jax.device_get(psum))
-            n_seen += n_valid
-            n_remaining -= n_valid
 
-        thr = (
-            self.args.eval_threshold
-            if self.args.eval_threshold is not None
-            else pred_sum / max(n_seen, 1)
-        )
+        def _trim(batch, n_valid):
+            """Drop the wrap-padded tail rows before device_put so the loss
+            (a plain batch mean inside the model) never sees duplicate rows
+            — shard_batch falls back to replicated sharding for the odd
+            size (one extra compile, tail batch only).  Multi-host keeps
+            the padded rows: each process holds a local slice of the
+            global batch, so row-trimming isn't well-defined there (the
+            n_valid device masks keep iou/dice exact; eval_loss carries
+            the padded tail rows weighted by n_valid)."""
+            if n_valid == self.eval_batch or jax.process_count() > 1:
+                return batch
+            return {k: v[:n_valid] for k, v in batch.items()}
+
+        fixed_thr = self.args.eval_threshold
+        loss_sum, pred_sum, n_seen = 0.0, 0.0, 0
+
+        if fixed_thr is None:
+            # pass 1: loss + the global mean-of-sigmoided-preds statistic
+            n_remaining = n_total
+            for batch in self._eval_loader(dataset):
+                n_valid = min(n_remaining, self.eval_batch)
+                sharded = mesh_lib.shard_batch(
+                    self.mesh, _trim(batch, n_valid)
+                )
+                loss, psum = self._eval_stats_step(
+                    self.state, sharded, jnp.int32(n_valid)
+                )
+                loss_sum += float(jax.device_get(loss)) * n_valid
+                pred_sum += float(jax.device_get(psum))
+                n_seen += n_valid
+                n_remaining -= n_valid
+            thr = pred_sum / max(n_seen, 1)
+        else:
+            thr = fixed_thr
 
         iou_sum, dice_sum = 0.0, 0.0
         n_remaining = n_total
         first = True
         for batch in self._eval_loader(dataset):
-            sharded = mesh_lib.shard_batch(self.mesh, batch)
             n_valid = min(n_remaining, self.eval_batch)
-            isum, dsum, preds0 = self._eval_metric_step(
-                self.state, sharded, jnp.float32(thr), jnp.int32(n_valid)
-            )
+            sharded = mesh_lib.shard_batch(self.mesh, _trim(batch, n_valid))
+            if fixed_thr is None:
+                isum, dsum, preds0 = self._eval_metric_step(
+                    self.state, sharded, jnp.float32(thr), jnp.int32(n_valid)
+                )
+            else:
+                # fixed threshold: single-pass eval (loss rides along)
+                loss, isum, dsum, preds0 = self._eval_all_step(
+                    self.state, sharded, jnp.float32(thr), jnp.int32(n_valid)
+                )
+                loss_sum += float(jax.device_get(loss)) * n_valid
+                n_seen += n_valid
             iou_sum += float(jax.device_get(isum))
             dice_sum += float(jax.device_get(dsum))
             if first and self.args.plot_eval and is_primary():
@@ -679,11 +709,16 @@ class Trainer:
         all_logits, all_labels, losses = [], [], []
         n_remaining = len(dataset)
         for batch in self._eval_loader(dataset):
+            take = min(n_remaining, self.eval_batch)  # unpad wrapped tail
+            if take < self.eval_batch:
+                # trim BEFORE the forward so the batch-mean loss carries no
+                # wrap-padded duplicate rows (shard_batch replicates the
+                # odd-sized tail batch)
+                batch = {k: v[:take] for k, v in batch.items()}
             sharded = mesh_lib.shard_batch(self.mesh, batch)
             logits, loss = self._eval_step(self.state, sharded)
-            take = min(n_remaining, logits.shape[0])  # unpad wrapped tail
-            all_logits.append(np.asarray(jax.device_get(logits))[:take])
-            all_labels.append(batch["labels"][:take])
+            all_logits.append(np.asarray(jax.device_get(logits)))
+            all_labels.append(batch["labels"])
             losses.append((float(jax.device_get(loss)), take))
             n_remaining -= take
 

@@ -44,7 +44,12 @@ from .logging_utils import (
     get_logger,
     get_tensorboard_formatter,
 )
-from .optimizers import ReduceLROnPlateau, create_lr_scheduler, create_optimizer
+from .optimizers import (
+    ReduceLROnPlateau,
+    create_lr_scheduler,
+    create_optimizer,
+    set_learning_rate,
+)
 
 logger = get_logger("UNetTrainer")
 
@@ -391,8 +396,7 @@ class UNetTrainer:
             (loss, (output, new_bs)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state["params"])
-            opt_state = state["opt_state"]
-            opt_state.hyperparams["learning_rate"] = lr
+            opt_state = set_learning_rate(state["opt_state"], lr)
             updates, new_opt = optimizer.update(
                 grads, opt_state, state["params"]
             )
@@ -483,8 +487,8 @@ class UNetTrainer:
                 # host-side LR injection: hyperparams ride inside opt_state
                 # through the shard_map step (same plateau-on-eval semantics)
                 if hasattr(opt_state, "hyperparams"):
-                    opt_state.hyperparams["learning_rate"] = jnp.asarray(
-                        self.current_lr, jnp.float32
+                    opt_state = set_learning_rate(
+                        opt_state, jnp.asarray(self.current_lr, jnp.float32)
                     )
                 params, opt_state, loss = self._spatial_step(
                     self._state["params"], opt_state, input, target, step_rng

@@ -226,3 +226,38 @@ class TestJittedTraining:
 
         out = jax.jit(step)(v["params"], v["batch_stats"], ost)
         assert np.isfinite(float(out[3]))
+
+
+class TestSegmentationLoss3DRegistry:
+    def test_z_squeeze_5d_input_accepted(self):
+        """The 3D trainer's z-squeeze path hands losses (N, 1, H, W, C);
+        SegmentationLoss must squeeze the singleton depth instead of feeding
+        an H=1 'image' to ms_ssim (round-3 review finding)."""
+        from mdeical_image_segmentation_tpu.losses.losses3d import (
+            SegmentationLoss,
+            get_loss_criterion,
+        )
+
+        rng = np.random.RandomState(0)
+        logits5 = jnp.asarray(rng.randn(1, 1, 176, 176, 1), jnp.float32)
+        target5 = jnp.asarray(
+            (rng.rand(1, 1, 176, 176, 1) > 0.5), jnp.float32
+        )
+        loss = SegmentationLoss()(logits5, target5)
+        ref = SegmentationLoss()(logits5[:, 0], target5[:, 0])
+        assert np.isfinite(float(loss))
+        np.testing.assert_allclose(float(loss), float(ref), rtol=1e-6)
+        # registry dispatch reaches the same class
+        crit = get_loss_criterion({"loss": {"name": "SegmentationLoss"}})
+        np.testing.assert_allclose(
+            float(crit(logits5, target5)), float(ref), rtol=1e-6
+        )
+
+    def test_true_3d_rejected_clearly(self):
+        from mdeical_image_segmentation_tpu.losses.losses3d import (
+            SegmentationLoss,
+        )
+
+        x = jnp.zeros((1, 4, 176, 176, 1))
+        with pytest.raises(ValueError, match="2D"):
+            SegmentationLoss()(x, x)

@@ -139,3 +139,22 @@ def test_registry_dispatch():
     assert m.thresholds == [0.4]
     with pytest.raises(KeyError):
         get_evaluation_metric({"eval_metric": {"name": "Bogus"}})
+
+
+def test_filter_instances_does_not_mutate_caller_arrays():
+    """convert_to_numpy is a no-copy np.asarray (the reference's .cpu()
+    always copied from CUDA), so instance filtering must copy before
+    zeroing small labels — pre-fix a second metric call saw corrupted
+    ground truth (round-3 review finding)."""
+    from mdeical_image_segmentation_tpu.metrics.metrics3d import (
+        GenericAveragePrecision,
+    )
+
+    m = GenericAveragePrecision(min_instance_size=10)
+    seg = np.zeros((8, 8, 8), np.int64)
+    seg[:2, :2, :2] = 1   # 8 voxels — below min size, filtered to 0
+    seg[4:, 4:, 4:] = 2   # 64 voxels — kept
+    original = seg.copy()
+    out = m._filter_instances(seg)
+    np.testing.assert_array_equal(seg, original)  # caller array untouched
+    assert (out[:2, :2, :2] == 0).all() and (out[4:, 4:, 4:] == 2).all()
