@@ -33,17 +33,31 @@ class Config(dict):
             v = self[name]
         except KeyError:
             raise AttributeError(name) from None
-        return Config(v) if isinstance(v, dict) and not isinstance(v, Config) else v
+        if isinstance(v, dict) and not isinstance(v, Config):
+            # wrap IN PLACE (not a throwaway copy) so nested attribute
+            # writes like ``cfg.trainer.max_epochs = 5`` mutate this tree
+            # instead of silently vanishing into a temporary
+            v = Config(v)
+            self[name] = v
+        return v
 
     def __setattr__(self, name: str, value: Any) -> None:
         self[name] = value
 
 
 def _parse_value(raw: str) -> Any:
-    """Parse a CLI override value: python literal if possible, else string."""
+    """Parse a CLI override value: python literal if possible, then a YAML
+    scalar (overrides target YAML-sourced trees, so ``false``/``true``/
+    ``null`` must parse with the same semantics as the file they override —
+    a bare-string fallback would leave ``'false'``, which is truthy), else
+    keep the raw string."""
     try:
         return ast.literal_eval(raw)
     except (ValueError, SyntaxError):
+        pass
+    try:
+        return yaml.safe_load(raw)
+    except yaml.YAMLError:
         return raw
 
 

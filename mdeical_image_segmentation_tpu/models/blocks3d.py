@@ -396,9 +396,12 @@ class TransposeConvUpsampling(nn.Module):
         ks = _ktuple(self.kernel_size, nsp)
         strides = _ktuple(self.scale_factor, nsp)
         pad = tuple((k - 1 - 1,) * 2 for k in ks)  # torch padding=1
-        kinit = jax.nn.initializers.variance_scaling(
-            1.0 / 3.0, "fan_in", "uniform"
-        )  # torch ConvTranspose default (kaiming uniform a=sqrt(5))
+        from ..ops import initializers as tinit
+
+        # torch ConvTranspose default (kaiming uniform a=sqrt(5)) — with the
+        # DECONV fan: torch counts out_channels*prod(k) (weight dim 1), not
+        # the flax variance_scaling 'fan_in' of in_channels*prod(k)
+        kinit = tinit.torch_conv_default_kernel(transpose=True)
         if use_slab_transpose(ks, strides):
             # depth-axis hand-lowering of the 3D deconv (ops/conv3d.py):
             # same params/name as nn.ConvTranspose, ~identical math, but

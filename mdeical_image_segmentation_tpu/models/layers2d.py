@@ -37,12 +37,12 @@ from ..ops.image import center_crop, upsample_bilinear2d
 KernelInit = Union[str, Callable]
 
 
-def _resolve_kernel_init(kernel_init: KernelInit):
+def _resolve_kernel_init(kernel_init: KernelInit, transpose: bool = False):
     if callable(kernel_init):
         return kernel_init
     if kernel_init == "torch_default":
-        return tinit.torch_conv_default_kernel()
-    return tinit.conv_kernel_init(kernel_init)
+        return tinit.torch_conv_default_kernel(transpose=transpose)
+    return tinit.conv_kernel_init(kernel_init, transpose=transpose)
 
 
 class TorchConv(nn.Module):
@@ -122,7 +122,8 @@ class TorchConvTranspose(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         ks = tuple(self.kernel_size)
         # torch ConvTranspose fan_in (for default init) = out_channels * prod(k)
-        # because the weight layout is (in, out, kH, kW) and torch counts dim-1.
+        # because the weight layout is (in, out, kH, kW) and torch counts dim-1
+        # — transpose=True makes the kernel init count the same fan.
         fan_in = math.prod(ks) * self.features
         pad = tuple((k - 1 - self.torch_padding,) * 2 for k in ks)
         return nn.ConvTranspose(
@@ -130,7 +131,7 @@ class TorchConvTranspose(nn.Module):
             kernel_size=ks,
             strides=tuple(self.strides),
             padding=pad,
-            kernel_init=_resolve_kernel_init(self.kernel_init),
+            kernel_init=_resolve_kernel_init(self.kernel_init, transpose=True),
             bias_init=tinit.torch_conv_default_bias(fan_in),
             dtype=self.dtype,
         )(x)

@@ -83,6 +83,12 @@ class UNet3DForMedicalSegmentation:
             num_groups=config.num_groups,
             num_levels=config.num_levels,
             is_segmentation=config.is_segmentation,
+            conv_kernel_size=tuple(config.conv_kernel_size)
+            if isinstance(config.conv_kernel_size, (list, tuple))
+            else config.conv_kernel_size,
+            pool_kernel_size=tuple(config.pool_kernel_size)
+            if isinstance(config.pool_kernel_size, (list, tuple))
+            else config.pool_kernel_size,
             conv_padding=config.conv_padding,
             conv_upscale=config.conv_upscale,
             upsample=config.upsample,

@@ -184,8 +184,13 @@ def overlap_add(
     starts: jax.Array,
     volume_shape: Tuple[int, int, int],
 ) -> Tuple[jax.Array, jax.Array]:
-    """Accumulate a full patch set into fresh zero maps."""
+    """Accumulate a full patch set into fresh zero maps.
+
+    Both maps are float32 regardless of the patch dtype: a bf16 count grid
+    stops resolving integers past 256 (the very >255-overlap corruption the
+    module exists to avoid), and bf16 accumulation would round every add.
+    The patches themselves may stay bf16 — the adds upcast."""
     c = patches.shape[-1]
-    acc = jnp.zeros((*volume_shape, c), patches.dtype)
-    cnt = jnp.zeros((*volume_shape, c), patches.dtype)
+    acc = jnp.zeros((*volume_shape, c), jnp.float32)
+    cnt = jnp.zeros((*volume_shape, c), jnp.float32)
     return overlap_add_into(acc, cnt, patches, starts)

@@ -67,11 +67,17 @@ def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
     one host.  The loader must then yield ``global_batch / process_count``
     rows per process (BatchLoader's ``process_shard``)."""
     n_data = mesh.shape[DATA_AXIS]
-    divisible = all(
-        np.ndim(v) == 0 or np.shape(v)[0] % n_data == 0
-        for v in batch.values()
-    )
     if jax.process_count() > 1:
+        # each process holds global_batch / process_count rows; the real
+        # requirement is that its LOCAL rows split over its LOCAL slice of
+        # the data axis (n_data // process_count devices) — validating
+        # local rows against the GLOBAL axis would reject legitimate runs
+        # whenever per_device_batch % process_count != 0
+        n_local = max(n_data // jax.process_count(), 1)
+        divisible = all(
+            np.ndim(v) == 0 or np.shape(v)[0] % n_local == 0
+            for v in batch.values()
+        )
         if not divisible:
             raise ValueError(
                 "multi-process shard_batch needs per-process rows assembling "
@@ -85,6 +91,10 @@ def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
             )
             for k, v in batch.items()
         }
+    divisible = all(
+        np.ndim(v) == 0 or np.shape(v)[0] % n_data == 0
+        for v in batch.values()
+    )
     if not divisible:
         # tail batch (typically the last eval batch): replicate instead of
         # scatter — semantics stay exact (no padding bias in losses/metrics)

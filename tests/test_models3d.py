@@ -156,3 +156,22 @@ class TestWrapper3D:
 def test_registry_contents():
     for name in ["UNet3D", "ResidualUNet3D", "ResidualUNetSE3D", "UNet2D", "ResidualUNet2D"]:
         assert name in MODELS_3D
+
+
+def test_wrapper_forwards_conv_and_pool_kernel_size(rng):
+    """UNet3DConfig.conv_kernel_size / pool_kernel_size must reach the built
+    module — pre-fix the wrapper silently dropped both, so config.json
+    misdescribed the weights (round-3 review finding)."""
+    cfg = UNet3DConfig(
+        in_channels=1, out_channels=1, f_maps=4, num_levels=2, num_groups=1,
+        conv_kernel_size=5, pool_kernel_size=(1, 2, 2), conv_padding=2,
+        unet_type="UNet3D",
+    )
+    model = UNet3DForMedicalSegmentation(cfg)
+    assert model.module.conv_kernel_size == 5
+    assert model.module.pool_kernel_size == (1, 2, 2)
+    x = jnp.zeros((1, 4, 16, 16, 1), jnp.float32)
+    variables = model.module.init(rng, x, train=False)
+    k = jax.tree_util.tree_leaves_with_path(variables["params"])
+    k5 = [p for p, v in k if v.ndim == 5 and v.shape[0] == 5]
+    assert k5, "no 5x5x5 conv kernels found — conv_kernel_size was dropped"

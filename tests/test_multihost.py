@@ -103,3 +103,30 @@ def test_only_primary_wrote_checkpoints(two_process_run):
     # a doubled writer would emit each tag twice per step
     tags = [(s["tag"], s["step"]) for s in steps]
     assert len(tags) == len(set(tags)), "duplicate metric writes (both processes wrote)"
+
+
+def test_shard_batch_validates_local_rows_against_local_devices(monkeypatch):
+    """Multi-process shard_batch must accept local rows that split over the
+    process's LOCAL slice of the data axis — pre-fix it validated against
+    the GLOBAL axis size, rejecting any per_device_batch % process_count
+    != 0 run (round-3 review finding).  process_count is monkeypatched; the
+    assembly call is stubbed to capture what would be built."""
+    import numpy as np
+
+    from mdeical_image_segmentation_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh()  # 8-device CPU test mesh
+    monkeypatch.setattr(mesh_lib.jax, "process_count", lambda: 2)
+    built = {}
+    monkeypatch.setattr(
+        mesh_lib.jax,
+        "make_array_from_process_local_data",
+        lambda sharding, v: built.setdefault(np.shape(v), sharding) or v,
+    )
+    # 2 procs x 4 local rows = global 8, divisible by the 8-wide data axis
+    batch = {"images": np.zeros((4, 8, 8, 1)), "labels": np.zeros((4, 8, 8, 1))}
+    out = mesh_lib.shard_batch(mesh, batch)
+    assert set(out) == {"images", "labels"} and (4, 8, 8, 1) in built
+    # 3 local rows cannot split over 4 local devices -> still rejected
+    with pytest.raises(ValueError, match="divisible"):
+        mesh_lib.shard_batch(mesh, {"images": np.zeros((3, 8, 8, 1))})

@@ -117,3 +117,16 @@ def test_predictor_device_vs_host_paths(rng, tmp_path):
     a = run(True, str(tmp_path / "dev"))
     b = run(False, str(tmp_path / "host"))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_overlap_add_bf16_patches_get_f32_maps():
+    """bf16 patches must NOT produce bf16 acc/cnt maps: a bf16 count grid
+    stops resolving integers past 256 — the exact >255-overlap corruption
+    this module exists to prevent (round-3 review finding)."""
+    rng = np.random.RandomState(0)
+    patches = jnp.asarray(rng.rand(3, 4, 4, 4, 1), jnp.bfloat16)
+    starts = jnp.zeros((3, 3), jnp.int32)
+    acc, cnt = overlap_add(patches, starts, (8, 8, 8))
+    assert acc.dtype == jnp.float32 and cnt.dtype == jnp.float32
+    # all three patches hit voxel (0,0,0): the count is exactly 3
+    np.testing.assert_allclose(np.asarray(cnt)[0, 0, 0, 0], 3.0)
