@@ -225,8 +225,6 @@ def bench_unet3plus(batch: int = 4, res: int = 512, steps: int = 10):
 
 
 def main():
-    import os
-
     # Extras stop when the remaining budget runs out (remote-compile latency
     # in this environment is variable); the headline metric always runs.
     # 1500 s default: even with a warm persistent cache, each program costs
@@ -291,7 +289,21 @@ def main():
         os._exit(2)
     device = claimed[0]
     t_start = time.time()
-    headline = bench_unet2d(base_features=64, batch=32, steps=40)
+    try:
+        headline = bench_unet2d(base_features=64, batch=32, steps=40)
+    except Exception as e:
+        # same one-JSON-line contract as a failed claim: a tunnel drop or
+        # compile failure mid-headline must not lose the round's one
+        # driver-graded bench run to a raw traceback
+        print(json.dumps({
+            "metric": "unet2d_train_throughput_256px_base64_bf16",
+            "value": 0.0,
+            "unit": "slices/sec/chip",
+            "vs_baseline": 0.0,
+            "extra": {"error": f"headline run failed after claim: "
+                               f"{type(e).__name__}: {e}"[:600]},
+        }))
+        os._exit(2)
 
     def extra(fn, *args, **kwargs):
         if time.time() - t_start > budget_s:

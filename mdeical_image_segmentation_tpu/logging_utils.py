@@ -135,8 +135,40 @@ class MetricWriter:
                 self.scalar(k, float(v), step)
 
     def image(self, tag: str, img: np.ndarray, step: int):
-        # JSONL records the stats only; TB gets the actual image if available.
+        """Write an image summary: JSONL records a stats line (it cannot
+        hold pixels), TB gets the actual PNG-encoded image panel — the
+        DefaultTensorboardFormatter behavior being reproduced
+        (reference utils.py:148-209 via SummaryWriter.add_image)."""
         self.scalar(f"{tag}/mean", float(np.mean(img)), step)
+        if self._tb is None:
+            return
+        import io
+
+        from PIL import Image as PILImage
+
+        arr = np.asarray(img)
+        if arr.ndim == 3 and arr.shape[-1] == 1:
+            arr = arr[..., 0]
+        if arr.dtype != np.uint8:
+            # formatter output is min-max normalized to [0, 1]
+            arr = (np.clip(arr.astype(np.float64), 0.0, 1.0) * 255).astype(
+                np.uint8
+            )
+        buf = io.BytesIO()
+        PILImage.fromarray(arr).save(buf, format="PNG")
+        colorspace = 3 if arr.ndim == 3 else 1  # RGB vs grayscale
+        image_pb = self._Summary.Image(
+            height=int(arr.shape[0]),
+            width=int(arr.shape[1]),
+            colorspace=colorspace,
+            encoded_image_string=buf.getvalue(),
+        )
+        summary = self._Summary(
+            value=[self._Summary.Value(tag=tag, image=image_pb)]
+        )
+        self._tb.add_event(
+            self._Event(summary=summary, step=int(step), wall_time=time.time())
+        )
 
     def close(self):
         self._jsonl.close()

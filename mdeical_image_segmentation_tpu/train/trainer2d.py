@@ -100,6 +100,15 @@ class TrainingArguments:
     profile_start_step: int = 10
     profile_num_steps: int = 3
 
+    def __post_init__(self):
+        if self.eval_strategy not in ("no", "steps", "epoch"):
+            # a typo ('step', 'epochs') would otherwise silently disable
+            # evaluation — every consumer compares equality
+            raise ValueError(
+                f"eval_strategy must be 'no', 'steps' or 'epoch'; "
+                f"got {self.eval_strategy!r}"
+            )
+
 
 @dataclasses.dataclass
 class TrainOutput:

@@ -151,6 +151,14 @@ class UNetTrainer:
         self.loss_criterion = loss_criterion
         self.eval_criterion = eval_criterion
         self.loaders = loaders
+        if resume:
+            # re-target the run dir NOW, before the MetricWriter/log dirs
+            # are created, so the config snapshot and JSONL/TB events land
+            # next to the checkpoints of the run being resumed instead of
+            # splitting artifacts across two directories (_init_state keeps
+            # applying the same rule when it loads the state)
+            resumed_dir = os.path.dirname(os.path.normpath(resume))
+            checkpoint_dir = resumed_dir or checkpoint_dir
         self.checkpoint_dir = checkpoint_dir
         self.max_num_epochs = max_num_epochs
         self.max_num_iterations = max_num_iterations
@@ -294,8 +302,11 @@ class UNetTrainer:
             self.best_eval_score = float(saved["best_eval_score"])
             self.num_iterations = int(saved["num_iterations"])
             self.num_epochs = int(saved["num_epochs"])
-            # keep writing into the run being resumed (msgpack-branch parity)
-            self.checkpoint_dir = os.path.dirname(self._resume_path)
+            # keep writing into the run being resumed (msgpack-branch
+            # parity; __init__ already re-targeted the log dirs the same way)
+            self.checkpoint_dir = os.path.dirname(
+                os.path.normpath(self._resume_path)
+            )
             logger.info(
                 f"Checkpoint loaded. Epoch: {self.num_epochs}. "
                 f"Iteration: {self.num_iterations}. "
@@ -323,7 +334,9 @@ class UNetTrainer:
             self.best_eval_score = float(saved["best_eval_score"])
             self.num_iterations = int(saved["num_iterations"])
             self.num_epochs = int(saved["num_epochs"])
-            self.checkpoint_dir = os.path.split(self._resume_path)[0]
+            self.checkpoint_dir = os.path.dirname(
+                os.path.normpath(self._resume_path)
+            )
             logger.info(
                 f"Checkpoint loaded. Epoch: {self.num_epochs}. "
                 f"Iteration: {self.num_iterations}. "

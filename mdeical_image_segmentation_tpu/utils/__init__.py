@@ -1,5 +1,6 @@
 from .onehot import expand_as_one_hot
 from .torch_import import (
+    unet3d_params_from_torch,
     unet3plus_params_from_torch,
     unet_params_from_torch,
 )
@@ -7,6 +8,7 @@ from .viz import show, show_transform_grid
 
 __all__ = [
     "expand_as_one_hot",
+    "unet3d_params_from_torch",
     "unet3plus_params_from_torch",
     "unet_params_from_torch",
     "show",

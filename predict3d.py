@@ -1,10 +1,11 @@
 """Sliding-window prediction entry point (config-driven).
 
 Completes the reference's intended 3D inference path (SURVEY.md §3.3: the
-reference ships the predictor but no CLI).  Config keys: ``model`` (with
-``model_path`` pointing at a training checkpoint), ``loaders.test`` (files,
-slice_builder with patch==stride + halo_shape, transformer), ``predictor``
-(name/out options), ``output_dir``.
+reference ships the predictor but no CLI).  Config keys: top-level
+``model_path`` (a training checkpoint — the reference's prediction-config
+convention; ``model.model_path`` is accepted as a fallback), ``model``,
+``loaders.test`` (files, slice_builder with patch==stride + halo_shape,
+transformer), ``predictor`` (name/out options), ``output_dir``.
 
     python predict3d.py --config test_config.yml
 """
@@ -24,7 +25,12 @@ def main(argv=None):
     config = load_config(argv if argv is not None else sys.argv[1:])
     model = get_model(config["model"])
 
-    model_path = config["model_path"]
+    model_path = config.get("model_path") or config["model"].get("model_path")
+    if not model_path:
+        raise KeyError(
+            "prediction config needs a top-level 'model_path' (or "
+            "'model.model_path') pointing at a training checkpoint"
+        )
     state = load_checkpoint(model_path)
     model_state = state["model_state_dict"]
     variables = {"params": model_state["params"]}

@@ -101,9 +101,14 @@ def test_resume_continues(volumes, fitted, tmp_path):
     (the pre-fix overrun ran max_num_epochs extra epochs, masking this)."""
     trainer, ckpt = fitted
     iters_before = trainer.num_iterations
-    cfg = _config(volumes, ckpt, max_num_epochs=8,
+    cfg = _config(volumes, str(tmp_path / "elsewhere"), max_num_epochs=8,
                   resume=os.path.join(ckpt, "last_checkpoint.msgpack"))
     t2 = create_trainer(cfg)
+    # logs/config must land in the resumed run's dir, not the configured
+    # checkpoint_dir — pre-fix a resume with a different checkpoint_dir
+    # split its artifacts across two directories (round-3 review finding)
+    assert t2.checkpoint_dir == ckpt
+    assert t2.writer.log_dir.startswith(os.path.join(ckpt, "logs"))
     t2.fit()
     # trained past the original run's end AND respected the epoch cap
     assert t2.num_iterations >= iters_before

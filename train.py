@@ -22,7 +22,8 @@ def parse_args():
     p.add_argument("--dataset", type=str, default="DRIVE", choices=["DRIVE", "BUSI"])
     p.add_argument("--synthetic", type=int, default=0,
                    help="use N synthetic samples instead of --data_path")
-    p.add_argument("--eval_strategy", type=str, default="steps")
+    p.add_argument("--eval_strategy", type=str, default="steps",
+                   choices=["no", "steps", "epoch"])
     p.add_argument("--eval_steps", type=int, default=100)
     p.add_argument("--logging_steps", type=int, default=100)
     p.add_argument("--num_train_epochs", type=float, default=5000)
@@ -98,6 +99,15 @@ def main():
                           resolution=args.resolution, cache=not args.stream)
         eval_ds = ds_cls(args.data_path, mode="eval",
                          resolution=args.resolution, cache=not args.stream)
+        if train_ds.num_channels != args.in_channels:
+            # fail at parse time with a clear message instead of deep in XLA
+            # with a conv kernel I=3 vs input C=1 mismatch (BUSI decodes
+            # grayscale; DRIVE is RGB)
+            raise SystemExit(
+                f"--in_channels {args.in_channels} does not match "
+                f"{args.dataset}'s {train_ds.num_channels} image channels — "
+                f"pass --in_channels {train_ds.num_channels}"
+            )
 
     if args.remat == "auto":
         use_remat = args.unet_type.startswith("UNet_3Plus") and args.resolution >= 384
