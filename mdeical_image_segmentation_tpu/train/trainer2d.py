@@ -69,6 +69,10 @@ class TrainingArguments:
     warmup_ratio: float = 0.001
     learning_rate: float = 0.005
     weight_decay: float = 0.001
+    # HF TrainingArguments clips the global gradient norm to 1.0 by default,
+    # and the reference never overrides it (train.py:114-160) — so the
+    # reference's actual training runs are clipped.  0 disables.
+    max_grad_norm: float = 1.0
     metric_for_best_model: str = "iou"
     greater_is_better: bool = True
     seed: int = 42
@@ -218,6 +222,12 @@ class Trainer:
             schedule, b1=0.9, b2=0.999, eps=1e-8,
             weight_decay=self.args.weight_decay,
         )
+        if self.args.max_grad_norm and self.args.max_grad_norm > 0:
+            # grads are clipped before the optimizer sees them, like HF's
+            # accelerator.clip_grad_norm_ in Trainer.training_step
+            opt = optax.chain(
+                optax.clip_by_global_norm(self.args.max_grad_norm), opt
+            )
         if self.args.gradient_accumulation_steps > 1:
             # micro-batch gradients averaged over k steps; the parameter
             # update (and the schedule) advance every k-th call

@@ -3,10 +3,11 @@ half of the BASELINE north star: "Dice within 0.5% of the PyTorch ref").
 
 No DRIVE data exists in this environment, so both stacks train on the same
 fixed synthetic DRIVE-shaped dataset with matched init (utils.torch_import),
-matched optimizer (AdamW + the HF linear warmup→decay schedule the reference
-trainer uses — train.py:120-137), identical batch order (our deterministic
-BatchLoader drives both), and the same BCE-with-logits loss the reference's
-UNetModel applies for out_channels=1 (reference model/unet2d/unet.py:1186).
+matched optimizer (AdamW + the HF linear warmup→decay schedule + the HF
+default global grad-norm clip of 1.0 the reference trainer uses —
+train.py:120-137), identical batch order (our deterministic BatchLoader
+drives both), and the same BCE-with-logits loss the reference's UNetModel
+applies for out_channels=1 (reference model/unet2d/unet.py:1186).
 
 The torch side is an explicit loop with exactly the reference trainer's
 per-step semantics rather than an HF Trainer instance (whose torch-generator
@@ -88,13 +89,14 @@ def _batches(train_ds, steps, seed):
 
 
 def _hf_lr_lambda(steps):
-    """optax join_schedules([linear(0→lr, 1), linear(lr→0, steps-1)], [1]) as
-    a torch LambdaLR multiplier (warmup_ratio=0 → 1-step warmup floor)."""
+    """HF get_linear_schedule_with_warmup(num_warmup_steps=0) as a torch
+    LambdaLR multiplier: FULL LR at step 0, linear decay to 0 at ``steps``
+    — the same curve the tpuseg trainer's zero-warmup branch emits
+    (optax.linear_schedule(lr, 0.0, steps) evaluated at the optimizer's
+    update count)."""
 
     def sched(step):
-        if step < 1:
-            return 0.0
-        return max(0.0, 1.0 - (step - 1) / max(steps - 1, 1))
+        return max(0.0, 1.0 - step / max(steps, 1))
 
     return sched
 
@@ -132,6 +134,10 @@ def _run_torch(cfg):
         opt.zero_grad()
         loss = criterion(model(x), y)
         loss.backward()
+        # HF Trainer clips the global grad norm to max_grad_norm=1.0 by
+        # default and the reference never overrides it — the tpuseg side
+        # clips identically (TrainingArguments.max_grad_norm)
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
         opt.step()
         sched.step()
         losses.append(float(loss.detach()))

@@ -35,6 +35,8 @@ def parse_args():
     p.add_argument("--warmup_ratio", type=float, default=0.001)
     p.add_argument("--learning_rate", type=float, default=0.005)
     p.add_argument("--weight_decay", type=float, default=0.001)
+    p.add_argument("--max_grad_norm", type=float, default=1.0,
+                   help="global grad-norm clip (HF default 1.0; 0 disables)")
     p.add_argument("--metric_for_best_model", type=str, default="iou")
     p.add_argument("--in_channels", type=int, default=3)
     p.add_argument("--out_channels", type=int, default=1)
@@ -141,6 +143,7 @@ def main():
         warmup_ratio=args.warmup_ratio,
         learning_rate=args.learning_rate,
         weight_decay=args.weight_decay,
+        max_grad_norm=args.max_grad_norm,
         metric_for_best_model=args.metric_for_best_model,
         seed=args.seed,
         bf16=args.bf16,
