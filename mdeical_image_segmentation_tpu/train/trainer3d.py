@@ -105,6 +105,7 @@ def create_trainer(config: Dict[str, Any]) -> "UNetTrainer":
         mesh=mesh,
         seed=config.get("seed", 0),
         tensor_parallel=bool(par_cfg.get("tensor_parallel", False)),
+        zero1=bool(par_cfg.get("zero1", False)),
         spatial_halo=par_cfg.get("spatial_halo"),
         spatial_shard_axis=int(par_cfg.get("spatial_shard_axis", 2)),
         spatial_cross_shard_norm=bool(
@@ -140,6 +141,7 @@ class UNetTrainer:
         base_lr: float = 1e-3,
         seed: int = 0,
         tensor_parallel: bool = False,
+        zero1: bool = False,
         spatial_halo: Optional[int] = None,
         spatial_shard_axis: int = 2,
         spatial_cross_shard_norm: bool = False,
@@ -183,6 +185,17 @@ class UNetTrainer:
         assert not (self.spatial_halo and self.tensor_parallel), (
             "spatial_halo and tensor_parallel are mutually exclusive"
         )
+        # ZeRO-1 (``parallel.zero1: true``): Adam moments partitioned over
+        # the data axis — parallel/zero.py.  The spatial step manages its
+        # own (replicated) optimizer state, so the two don't compose.
+        self.zero1 = bool(
+            zero1 and self.mesh.shape[mesh_lib.DATA_AXIS] > 1
+        )
+        assert not (self.spatial_halo and self.zero1), (
+            "spatial_halo and zero1 are mutually exclusive"
+        )
+        self._opt_specs = None
+        self._param_shardings = None
         self.current_lr = base_lr
         self.seed = seed
 
@@ -249,8 +262,28 @@ class UNetTrainer:
         if self.tensor_parallel:
             from ..parallel.tensor import shard_params_tp
 
-            return shard_params_tp(state, self.mesh)
-        return mesh_lib.replicate(self.mesh, state)
+            state = shard_params_tp(state, self.mesh)
+        else:
+            state = mesh_lib.replicate(self.mesh, state)
+        if self.zero1:
+            from ..parallel.tensor import tp_param_specs
+            from ..parallel.zero import shard_opt_state_zero1
+
+            base = (
+                tp_param_specs(state["opt_state"], self.mesh)
+                if self.tensor_parallel
+                else None
+            )
+            new_opt, self._opt_specs = shard_opt_state_zero1(
+                state["opt_state"], self.mesh, base
+            )
+            state = dict(state, opt_state=new_opt)
+            # params keep their own layout — the step re-pins them so the
+            # moments' data-axis sharding can't leak into params on output
+            self._param_shardings = jax.tree_util.tree_map(
+                lambda x: x.sharding, state["params"]
+            )
+        return state
 
     def _init_state(self, sample_input: np.ndarray):
         rng = jax.random.PRNGKey(self.seed)
@@ -382,6 +415,15 @@ class UNetTrainer:
         optimizer = self.optimizer
         loss_criterion = self.loss_criterion
         has_bn = self._has_bn
+        opt_shardings = None
+        param_shardings = None
+        if self._opt_specs is not None:
+            from jax.sharding import NamedSharding
+
+            opt_shardings = jax.tree_util.tree_map(
+                lambda s: NamedSharding(self.mesh, s), self._opt_specs
+            )
+            param_shardings = self._param_shardings
 
         def train_step(state, input, target, weight, rng, lr):
             import optax
@@ -413,6 +455,18 @@ class UNetTrainer:
             updates, new_opt = optimizer.update(
                 grads, opt_state, state["params"]
             )
+            if opt_shardings is not None:
+                # ZeRO-1: pin the new moments to the input partition so the
+                # donated state round-trips the layout
+                new_opt = jax.lax.with_sharding_constraint(
+                    new_opt, opt_shardings
+                )
+                # ... and the updates back to the params' layout — this IS
+                # the ZeRO-1 all-gather; without it GSPMD leaves the params
+                # data-sharded on output (ZeRO-3 semantics, unwanted)
+                updates = jax.lax.with_sharding_constraint(
+                    updates, param_shardings
+                )
             new_params = optax.apply_updates(state["params"], updates)
             return (
                 {"params": new_params, "batch_stats": new_bs, "opt_state": new_opt},

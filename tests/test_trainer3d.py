@@ -167,6 +167,37 @@ def test_tensor_parallel_config(volumes, tmp_path_factory):
     assert trainer.num_iterations > 1
 
 
+def test_zero1_config(volumes, tmp_path_factory):
+    """`parallel: {zero1: true}` partitions the Adam moments over the data
+    axis (parallel/zero.py): training runs, the big moment leaves are
+    physically split 1/8 per device, params stay replicated, and the
+    partition survives the donated step + msgpack checkpoint write."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt_z1"))
+    # validate_after_iters=1 so the msgpack save runs (and device_gets the
+    # ZeRO-sharded opt state) within this 1-iteration-per-epoch config
+    cfg = _config(volumes, ckpt, max_num_epochs=1, max_num_iterations=4,
+                  validate_after_iters=1)
+    cfg["parallel"] = {"zero1": True}
+    trainer = create_trainer(cfg)
+    assert trainer.zero1
+    trainer.fit()
+    assert trainer.num_iterations > 1
+    n_data = trainer.mesh.shape["data"]
+    sharded = [
+        v for v in jax.tree_util.tree_leaves(trainer._state["opt_state"])
+        if hasattr(v, "sharding") and "data" in tuple(v.sharding.spec or ())
+    ]
+    assert sharded, "no moment leaf carries a data-axis partition"
+    wide = max(sharded, key=lambda v: v.size)
+    assert wide.addressable_shards[0].data.size == wide.size // n_data
+    for leaf in jax.tree_util.tree_leaves(trainer._state["params"]):
+        assert leaf.sharding.spec == P()
+    assert os.path.exists(os.path.join(ckpt, "last_checkpoint.msgpack"))
+
+
 def test_spatial_halo_config(volumes, tmp_path_factory):
     """`parallel: {spatial_halo: 2}` trains each batch as ONE spatially-
     sharded volume (H slabs over the 8 data devices, ppermute halo
