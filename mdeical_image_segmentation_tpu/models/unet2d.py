@@ -53,25 +53,42 @@ class UNet(nn.Module):
     out_channels: int = 1
     base_features: int = 64
     dtype: Optional[Any] = None
+    # rematerialize each DoubleConvolution in the backward pass: at narrow
+    # widths the train step is HBM-bandwidth-bound with the MXU ~93% idle
+    # (PERF.md base8 roofline), so recomputing the conv pair instead of
+    # stashing its intermediates trades idle FLOPs for activation traffic
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         del train  # no BN/dropout in the classic UNet
         f = self.base_features
         downs = (f, 2 * f, 4 * f, 8 * f)
+        dc_cls = nn.remat(DoubleConvolution) if self.remat else DoubleConvolution
+        n_dc = 0
+
+        def dc(feats, x):
+            # explicit names keep the params tree identical with/without
+            # remat (nn.remat changes auto-generated module names)
+            nonlocal n_dc
+            y = dc_cls(
+                feats, dtype=self.dtype, name=f"DoubleConvolution_{n_dc}"
+            )(x)
+            n_dc += 1
+            return y
 
         skips = []
         for feats in downs:
-            x = DoubleConvolution(feats, dtype=self.dtype)(x)
+            x = dc(feats, x)
             skips.append(x)
             x = max_pool2d(x, 2)
 
-        x = DoubleConvolution(16 * f, dtype=self.dtype)(x)
+        x = dc(16 * f, x)
 
         for feats in reversed(downs):
             x = UpSample(feats, dtype=self.dtype)(x)
             x = crop_and_concat(x, skips.pop())
-            x = DoubleConvolution(feats, dtype=self.dtype)(x)
+            x = dc(feats, x)
 
         return TorchConv(self.out_channels, (1, 1), dtype=self.dtype)(x)
 

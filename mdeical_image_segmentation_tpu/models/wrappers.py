@@ -55,7 +55,7 @@ class UNetConfig:
     bn_axis_name: Optional[str] = None  # sync-BN mesh axis
     param_dtype: str = "float32"
     compute_dtype: str = "float32"   # "bfloat16" runs the convs on the MXU in bf16
-    remat: bool = False              # rematerialize blocks (UNet-3+ family)
+    remat: bool = False              # rematerialize blocks (all 2D variants)
     # HF-contract fields (consumed by the trainer):
     label_names: str = "labels"
     main_input_name: str = "images"
@@ -106,6 +106,7 @@ class UNetModel:
             kwargs.update(
                 out_channels=config.out_channels,
                 base_features=config.base_features,
+                remat=config.remat,
             )
             self.criterion = (
                 cross_entropy if config.out_channels > 1 else bce_with_logits

@@ -91,6 +91,36 @@ def test_device_prefetch_preserves_order():
         assert float(np.asarray(b["images"])[0, 0, 0, 0]) == i
 
 
+def test_classic_unet_remat_equivalence(rng):
+    """Classic UNet remat: identical param tree, forward, and grads."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mdeical_image_segmentation_tpu.models import UNet
+
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 1), jnp.float32)
+    t = (x > 0.5).astype(jnp.float32)
+    plain = UNet(out_channels=1, base_features=4)
+    remat = UNet(out_channels=1, base_features=4, remat=True)
+    v = plain.init(rng, x)
+    # explicit block names keep the tree identical under nn.remat
+    assert jax.tree_util.tree_structure(
+        remat.init(rng, x)
+    ) == jax.tree_util.tree_structure(v)
+
+    def loss(model, params):
+        out = model.apply({"params": params}, x)
+        return jnp.mean((jax.nn.sigmoid(out) - t) ** 2)
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(plain, p))(v["params"])
+    l2, g2 = jax.value_and_grad(lambda p: loss(remat, p))(v["params"])
+    assert float(l1) == pytest.approx(float(l2), rel=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-7)
+
+
 def test_unet3plus_remat_equivalence(rng):
     """UNet-3+ remat: identical forward outputs and parameter tree."""
     import jax.numpy as jnp
