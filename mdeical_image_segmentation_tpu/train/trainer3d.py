@@ -713,11 +713,12 @@ class UNetTrainer:
     def _save_checkpoint(self, is_best: bool):
         from ..parallel.distributed import is_primary
 
-        if self.tensor_parallel:
-            # TP state is physically sharded over the model axis: gathering
-            # to host (device_get) fails on non-addressable shards in a
-            # multi-host mesh.  Orbax saves the sharded jax.Arrays directly
-            # (each host writes its shards) — ALL processes participate.
+        if self.tensor_parallel or self.zero1:
+            # TP params / ZeRO-1 optimizer moments are physically sharded
+            # (model axis / data axis): gathering to host (device_get) fails
+            # on non-addressable shards in a multi-host mesh.  Orbax saves
+            # the sharded jax.Arrays directly (each host writes its shards)
+            # — ALL processes participate.
             from .orbax_ckpt import OrbaxCheckpointer
 
             if not hasattr(self, "_orbax"):

@@ -171,13 +171,16 @@ def test_zero1_config(volumes, tmp_path_factory):
     """`parallel: {zero1: true}` partitions the Adam moments over the data
     axis (parallel/zero.py): training runs, the big moment leaves are
     physically split 1/8 per device, params stay replicated, and the
-    partition survives the donated step + msgpack checkpoint write."""
+    partition survives the donated step + checkpoint write.  ZeRO-sharded
+    opt state must save via the orbax (sharded, multi-host-safe) branch —
+    a host device_get of non-addressable moment shards would fail on a
+    multi-host mesh (advisor round-3 finding)."""
     import jax
     from jax.sharding import PartitionSpec as P
 
     ckpt = str(tmp_path_factory.mktemp("ckpt_z1"))
-    # validate_after_iters=1 so the msgpack save runs (and device_gets the
-    # ZeRO-sharded opt state) within this 1-iteration-per-epoch config
+    # validate_after_iters=1 so the checkpoint save runs within this
+    # 1-iteration-per-epoch config
     cfg = _config(volumes, ckpt, max_num_epochs=1, max_num_iterations=4,
                   validate_after_iters=1)
     cfg["parallel"] = {"zero1": True}
@@ -195,7 +198,9 @@ def test_zero1_config(volumes, tmp_path_factory):
     assert wide.addressable_shards[0].data.size == wide.size // n_data
     for leaf in jax.tree_util.tree_leaves(trainer._state["params"]):
         assert leaf.sharding.spec == P()
-    assert os.path.exists(os.path.join(ckpt, "last_checkpoint.msgpack"))
+    # zero1 routes to the orbax (sharded-save) branch, not msgpack
+    assert os.path.exists(os.path.join(ckpt, "orbax", "last"))
+    assert not os.path.exists(os.path.join(ckpt, "last_checkpoint.msgpack"))
 
 
 def test_spatial_halo_config(volumes, tmp_path_factory):
