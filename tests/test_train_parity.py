@@ -285,8 +285,14 @@ def test_converged_dice_tracks_torch(converged_runs):
     ), (metrics["eval_iou"], torch_metrics["iou"])
 
 
+@pytest.mark.parity
 def test_converged_dice_within_half_percent_of_torch(tmp_path_factory):
-    """The 0.5% north-star accuracy bar, UN-gated (round-3 item 5).
+    """The 0.5% north-star accuracy bar (round-3 item 5; `-m parity` tier).
+
+    Deselected from the default run (pyproject addopts) to keep the suite
+    under ~25 min, but ALWAYS run by /verify and nightly via
+    ``pytest -m parity`` — round 3's lesson is that a skipped slow parity
+    leg let a trainer-semantics regression land (commit 9452d1f).
 
     Deeper convergence than test_converged_dice_tracks_torch (200 steps at
     16², dice≈0.96): the stacks' dice gap closes with convergence depth —
@@ -311,6 +317,7 @@ def test_converged_dice_within_half_percent_of_torch(tmp_path_factory):
     ), (metrics["eval_iou"], torch_metrics["iou"])
 
 
+@pytest.mark.parity
 @pytest.mark.skipif(
     not os.environ.get("TPUSEG_NORTHSTAR"),
     reason="full-convergence leg (~30 min on the CPU mesh); "
