@@ -167,11 +167,20 @@ class SyntheticSliceDataset:
         resolution: int = 256,
         channels: int = 1,
         seed: int = 0,
+        n_classes: int = 1,
     ):
+        """``n_classes > 1`` switches to the multi-class contract
+        (BASELINE config #2 / the reference's CrossEntropyLoss branch,
+        unet.py:1184-1188): masks are integer class-id maps of shape (H, W)
+        — no channel dim, as torch CrossEntropyLoss expects — with each blob
+        assigned a foreground class in 1..n_classes-1 and a class-dependent
+        intensity so the task is learnable."""
         self.n_samples = n_samples
         self.resolution = resolution
         self.channels = channels
         self.seed = seed
+        assert n_classes >= 1
+        self.n_classes = n_classes
         self._cache: List = [None] * n_samples
 
     def _make(self, index: int) -> Dict[str, np.ndarray]:
@@ -182,10 +191,23 @@ class SyntheticSliceDataset:
         for _ in range(rng.randint(1, 4)):
             cy, cx = rng.rand(2)
             rad = 0.08 + 0.17 * rng.rand()
-            mask = np.maximum(
-                mask, ((yy - cy) ** 2 + (xx - cx) ** 2 < rad**2).astype(np.float32)
-            )
+            blob = ((yy - cy) ** 2 + (xx - cx) ** 2 < rad**2).astype(np.float32)
+            if self.n_classes > 1:
+                cls = float(rng.randint(1, self.n_classes))
+                # later blobs overwrite earlier ones where they overlap
+                mask = np.where(blob > 0, cls * blob, mask)
+            else:
+                mask = np.maximum(mask, blob)
         noise = rng.rand(r, r).astype(np.float32)
+        if self.n_classes > 1:
+            # class-dependent intensity makes classes separable from the image
+            fg = (mask > 0).astype(np.float32)
+            shade = mask / max(self.n_classes - 1, 1)
+            image = np.clip(
+                0.4 * fg + 0.3 * shade + 0.25 * noise + 0.05 * rng.rand(), 0, 1
+            )
+            image = np.repeat(image[..., None], self.channels, axis=-1)
+            return {"image": image, "mask": mask.astype(np.int32)}
         image = np.clip(0.6 * mask + 0.3 * noise + 0.1 * rng.rand(), 0, 1)
         image = np.repeat(image[..., None], self.channels, axis=-1)
         return {"image": image, "mask": mask[..., None]}

@@ -68,5 +68,7 @@ def cross_entropy(logits: jax.Array, targets: jax.Array) -> jax.Array:
     """
     logp = jax.nn.log_softmax(logits, axis=-1)
     t = targets.astype(jnp.int32)
+    if t.ndim == logits.ndim and t.shape[-1] == 1:
+        t = t[..., 0]  # accept (N, H, W, 1) class maps as (N, H, W)
     picked = jnp.take_along_axis(logp, t[..., None], axis=-1)[..., 0]
     return -picked.mean()

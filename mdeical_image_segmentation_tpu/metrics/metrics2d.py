@@ -197,6 +197,56 @@ def pred_mean_sum_jax(logits: jax.Array, n_valid: jax.Array) -> jax.Array:
     return (per_sample * _valid_mask(preds.shape[0], n_valid)).sum()
 
 
+def multiclass_iou_dice_sums_jax(
+    logits: jax.Array, labels: jax.Array, n_valid: jax.Array
+):
+    """(Σ per-sample macro IoU, Σ per-sample macro Dice) for C>1 heads.
+
+    The reference's eval metrics are binary-only (metrcis.py:61-109; its
+    multi-class branch stops at the CrossEntropyLoss dispatch,
+    unet.py:1184-1188) — this is the natural argmax extension matching the
+    serving API's argmax masks: the prediction is ``argmax_C(logits)``, each
+    class contributes a binary IoU/Dice with the SAME epsilon conventions as
+    compute_iou/compute_dice, and classes are macro-averaged per sample
+    (background class 0 included, so an all-background sample scores 1.0
+    when predicted all-background).
+    """
+    n, n_classes = logits.shape[0], logits.shape[-1]
+    pred_cls = jnp.argmax(logits, axis=-1)  # (N, H, W)
+    labs = labels
+    if labs.ndim == pred_cls.ndim + 1 and labs.shape[-1] == 1:
+        labs = labs[..., 0]
+    labs = labs.astype(jnp.int32)
+    axes = tuple(range(1, pred_cls.ndim))
+    classes = jnp.arange(n_classes)
+    # one-hot along a leading class axis: (C, N, H, W) booleans
+    p = (pred_cls[None] == classes[:, None, None, None]).astype(jnp.float32)
+    l = (labs[None] == classes[:, None, None, None]).astype(jnp.float32)
+    sum_axes = tuple(a + 1 for a in axes)  # spatial axes of the (C, N, ...) view
+    inter = (p * l).sum(sum_axes)  # (C, N)
+    union = jnp.maximum(p.sum(sum_axes) + l.sum(sum_axes) - inter, 1e-6)
+    iou = (inter / union).mean(0)  # macro over classes → (N,)
+    dice = (
+        (2.0 * inter + 1e-6)
+        / (p.sum(sum_axes) + 1e-6 + l.sum(sum_axes) + 1e-6)
+    ).mean(0)
+    mask = _valid_mask(n, n_valid)
+    return (iou * mask).sum(), (dice * mask).sum()
+
+
+def compute_metrics_multiclass(
+    logits: np.ndarray, labels: np.ndarray
+) -> Dict[str, float]:
+    """Host-side multi-class eval: mean per-sample macro IoU/Dice over argmax
+    class maps (same math as ``multiclass_iou_dice_sums_jax``)."""
+    logits = np.asarray(logits, np.float32)
+    n = logits.shape[0]
+    isum, dsum = multiclass_iou_dice_sums_jax(
+        jnp.asarray(logits), jnp.asarray(np.asarray(labels)), jnp.int32(n)
+    )
+    return {"iou": float(isum) / n, "dice": float(dsum) / n}
+
+
 def iou_dice_sums_jax(
     logits: jax.Array, labels: jax.Array, threshold: jax.Array, n_valid: jax.Array
 ):

@@ -34,6 +34,7 @@ from ..data.collate import BatchLoader, SliceCollator
 from ..metrics.metrics2d import (
     compute_metrics as default_compute_metrics,
     iou_dice_sums_jax,
+    multiclass_iou_dice_sums_jax,
     plot_first_element,
     pred_mean_sum_jax,
     quirky_sigmoid_jax,
@@ -401,11 +402,30 @@ class Trainer:
             preds0 = quirky_sigmoid_jax(out.logits[0].astype(jnp.float32))
             return out.loss, iou_sum, dice_sum, preds0
 
+        def eval_multiclass_step(state: TrainState, batch, n_valid):
+            # C>1 heads (BASELINE config #2): macro IoU/Dice over argmax
+            # class maps — single pass, no threshold (the reference's
+            # mean-threshold quirk is a binary-sigmoid construct).
+            out = _eval_forward(state, batch)
+            iou_sum, dice_sum = multiclass_iou_dice_sums_jax(
+                out.logits, batch["labels"], n_valid
+            )
+            pred0 = jnp.argmax(out.logits[0], axis=-1).astype(jnp.float32)
+            return out.loss, iou_sum, dice_sum, pred0
+
+        # eval metric family dispatch: C>1 logits → argmax multi-class
+        self._multiclass_eval = (
+            getattr(getattr(model, "config", None), "out_channels", 1) > 1
+        )
+
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
         self._eval_stats_step = jax.jit(eval_stats_step, out_shardings=rep)
         self._eval_metric_step = jax.jit(eval_metric_step, out_shardings=rep)
         self._eval_all_step = jax.jit(eval_all_step, out_shardings=rep)
+        self._eval_multiclass_step = jax.jit(
+            eval_multiclass_step, out_shardings=rep
+        )
 
         def train_step_resident(state: TrainState, images_all, labels_all, rng):
             """Device-resident data path: gather a random uint8 minibatch in
@@ -711,6 +731,44 @@ class Trainer:
 
         fixed_thr = self.args.eval_threshold
         loss_sum, pred_sum, n_seen = 0.0, 0.0, 0
+
+        if getattr(self, "_multiclass_eval", False):
+            # C>1 heads: single-pass argmax macro-IoU/Dice (no threshold)
+            iou_sum, dice_sum = 0.0, 0.0
+            n_remaining, first = n_total, True
+            for batch in self._eval_loader(dataset):
+                n_valid = min(n_remaining, self.eval_batch)
+                sharded = mesh_lib.shard_batch(
+                    self.mesh, _trim(batch, n_valid)
+                )
+                loss, isum, dsum, pred0 = self._eval_multiclass_step(
+                    self.state, sharded, jnp.int32(n_valid)
+                )
+                loss_sum += float(jax.device_get(loss)) * n_valid
+                iou_sum += float(jax.device_get(isum))
+                dice_sum += float(jax.device_get(dsum))
+                n_seen += n_valid
+                if first and self.args.plot_eval and is_primary():
+                    labs0 = np.asarray(batch["labels"][:1], np.float32)
+                    if labs0.ndim == 4 and labs0.shape[-1] == 1:
+                        labs0 = labs0[..., 0]
+                    # binarize the class maps at foreground-vs-background
+                    # for the reference-style pred/label PNG panel
+                    p0 = np.asarray(jax.device_get(pred0), np.float32)
+                    plot_first_element(
+                        (p0[None] > 0).astype(np.float32),
+                        (labs0 > 0).astype(np.float32), threshold=0.5,
+                        save_path=os.path.join(
+                            self.args.output_dir, "output.png"
+                        ),
+                    )
+                first = False
+                n_remaining -= n_valid
+            return {
+                "eval_iou": iou_sum / max(n_total, 1),
+                "eval_dice": dice_sum / max(n_total, 1),
+                "eval_loss": loss_sum / n_seen if n_seen else float("nan"),
+            }
 
         if fixed_thr is None:
             # pass 1: loss + the global mean-of-sigmoided-preds statistic
