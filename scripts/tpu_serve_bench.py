@@ -68,9 +68,17 @@ def start_server(port: int, max_batch: int = 8, max_wait_ms: float = 8.0):
 
     registry = ModelRegistry()
     registry.register(
+        # dispatch/fetch enable the engine's round-4 two-stage pipeline
+        # (decode/H2D of batch k+1 overlaps device execution of batch k)
         ModelEntry(name="vessel", forward=forward, in_channels=3,
-                   resolution=256, threshold=0.5),
+                   resolution=256, threshold=0.5,
+                   dispatch=lambda x: fwd(jnp.asarray(x)), fetch=np.asarray),
         default=True,
+    )
+    registry.register(
+        # same jitted program, serial worker — the in-session A/B control
+        ModelEntry(name="vessel_serial", forward=forward, in_channels=3,
+                   resolution=256, threshold=0.5),
     )
     server = SegmentationServer(registry, max_batch=max_batch,
                                 max_wait_ms=max_wait_ms)
@@ -93,7 +101,7 @@ def post(port, payload, timeout=120):
 
 
 def sweep(port, image_path, concurrency, requests_per_client,
-          ret_mode="path"):
+          ret_mode="path", model=None):
     lats, errs, sizes = [], [0], []
     lock = threading.Lock()
 
@@ -101,8 +109,10 @@ def sweep(port, image_path, concurrency, requests_per_client,
         for _ in range(requests_per_client):
             t0 = time.perf_counter()
             try:
-                out = post(port, {"image_path": image_path,
-                                  "return": ret_mode})
+                payload = {"image_path": image_path, "return": ret_mode}
+                if model:
+                    payload["model"] = model
+                out = post(port, payload)
                 ok = out.get("status") == 200
                 size = len(json.dumps(out.get("response", "")))
             except Exception:
@@ -165,6 +175,16 @@ def main():
         r["avg_batch_occupancy"] = round(dr / db, 2) if db else 0.0
         occ0 = occ1
         log(f"concurrency_{c}", r)
+
+    # in-session A/B: the same jitted forward through the SERIAL worker
+    # (no dispatch/fetch) at saturating concurrency — isolates the round-4
+    # pipeline's contribution from tunnel-condition variance
+    for c in (8, 16):
+        log(f"serial_concurrency_{c}",
+            sweep(port, img_path, c, max(32 // c, 8), model="vessel_serial"))
+    for c in (8, 16):
+        log(f"pipelined_concurrency_{c}_rep",
+            sweep(port, img_path, c, max(32 // c, 8)))
 
     # return-mode comparison at saturation (round-3 item: the JSON
     # nested-list mask dominates response payloads; base64 PNG cuts it

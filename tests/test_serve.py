@@ -198,6 +198,67 @@ def test_engine_pads_batches_to_pow2():
         engine.stop()
 
 
+def test_engine_pipelined_dispatch_fetch():
+    """Entries with dispatch/fetch run the two-stage pipeline: the worker
+    keeps one batch in flight and syncs it only after dispatching the next
+    (or immediately when the queue is idle).  Asserts correctness across
+    many overlapping batches, that dispatch really was used, and that a
+    lone request isn't deferred waiting for a successor."""
+    import time as _time
+
+    from mdeical_image_segmentation_tpu.serve.app import (
+        BatchingInferenceEngine, ModelEntry, ModelRegistry)
+
+    dispatched, fetched = [], []
+
+    def dispatch(x):
+        dispatched.append(x.shape[0])
+        return ("handle", x * 2.0)
+
+    def fetch(handle):
+        tag, arr = handle
+        assert tag == "handle"
+        fetched.append(arr.shape[0])
+        _time.sleep(0.01)  # simulated device time, overlapped by the worker
+        return arr
+
+    def forward(x):  # must NOT be called when dispatch/fetch are set
+        raise AssertionError("serial forward used despite dispatch/fetch")
+
+    registry = ModelRegistry()
+    registry.register(
+        ModelEntry(name="pipe", forward=forward, in_channels=1, resolution=2,
+                   threshold=0.5, dispatch=dispatch, fetch=fetch),
+        default=True,
+    )
+    engine = BatchingInferenceEngine(registry, max_batch=4, max_wait_ms=2.0)
+    try:
+        n = 16
+        payloads = [np.full((2, 2, 1), float(i), np.float32) for i in range(n)]
+        out = [None] * n
+
+        def hit(i):
+            out[i] = engine.infer("pipe", payloads[i])
+
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(n):
+            np.testing.assert_array_equal(out[i], payloads[i] * 2.0)
+        assert dispatched and fetched  # pipeline path exercised
+        assert sum(fetched) == sum(dispatched)
+
+        # a lone request finalizes promptly (no successor batch needed)
+        t0 = _time.monotonic()
+        lone = engine.infer("pipe", payloads[0], timeout=5.0)
+        assert _time.monotonic() - t0 < 2.0
+        np.testing.assert_array_equal(lone, payloads[0] * 2.0)
+    finally:
+        engine.stop()
+
+
 def test_stats_percentiles(server):
     _, port, _ = server
     status, body = _get(port, "/stats")
