@@ -184,12 +184,21 @@ class _AbstractPredictor:
             self._int8_forward = jax.jit(int8_fwd)
         self._batch_size = batch_size
 
-    def _predict_batch(self, input: np.ndarray) -> np.ndarray:
-        """Jitted forward with tail-padding to a single static batch shape."""
+    def _predict_batch_device(self, input) -> tuple:
+        """Jitted forward with tail-padding to a single static batch shape.
+
+        Returns ``(device_out, n_valid)`` WITHOUT fetching to host — the
+        device-accumulate path chains the overlap-add directly on the
+        output (padded tail rows included; callers mask them with
+        ``n_valid``), so patch predictions never cross the tunnel.
+        ``input`` may be a numpy array or an already-uploaded jax.Array
+        (H2D prefetch).
+        """
         n = input.shape[0]
         if self._forward is None:
             self._compile_forward(n)
         if n < self._batch_size:
+            input = np.asarray(input)
             pad = np.repeat(input[-1:], self._batch_size - n, axis=0)
             input = np.concatenate([input, pad], axis=0)
         if self.quantize == "int8":
@@ -202,11 +211,13 @@ class _AbstractPredictor:
                 out_dev = self._int8_forward(
                     self.variables, self._quant_scales, jnp.asarray(input)
                 )
-            return np.asarray(jax.device_get(out_dev))[:n]
-        out = np.asarray(
-            jax.device_get(self._forward(self.variables, jnp.asarray(input)))
-        )
-        return out[:n]
+            return out_dev, n
+        return self._forward(self.variables, jnp.asarray(input)), n
+
+    def _predict_batch(self, input: np.ndarray) -> np.ndarray:
+        """Host-side variant (reference semantics): fetch + drop padded rows."""
+        out_dev, n = self._predict_batch_device(input)
+        return np.asarray(jax.device_get(out_dev))[:n]
 
     def __call__(self, test_loader):
         raise NotImplementedError
@@ -226,9 +237,53 @@ class StandardPredictor(_AbstractPredictor):
         super().__init__(*args, **kwargs)
         self.accumulate_on_device = accumulate_on_device
 
+    def _prefetch_device_batches(self, test_loader, depth: int = 2):
+        """Iterate ``(input_device_or_host, indices)`` with host assembly +
+        H2D upload running one batch ahead in a worker thread (the trainer3d
+        double-buffering pattern, applied to inference — round-4 verdict
+        item 7).  Upload of batch k+1 overlaps device compute of batch k;
+        with the device-side accumulate chain there is no per-batch D2H to
+        hide at all."""
+        import queue as _queue
+        import threading as _threading
+
+        q: "_queue.Queue" = _queue.Queue(maxsize=depth)
+        stop = object()
+
+        def producer():
+            try:
+                for input, indices in test_loader:
+                    arr = np.asarray(input)
+                    try:
+                        arr = jax.device_put(arr)  # async H2D
+                    except Exception:  # pragma: no cover - upload races
+                        pass  # fall back to uploading on the consumer side
+                    q.put((arr, indices))
+                q.put(stop)
+            except BaseException as exc:  # noqa: BLE001 - re-raised below
+                q.put(exc)
+
+        t = _threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
     def _device_accumulate(self, test_loader, volume_shape, patch_halo):
         """Stream batches through forward + device overlap-add; returns the
-        (C, D, H, W) numpy sum/count maps."""
+        (C, D, H, W) numpy sum/count maps.
+
+        The whole per-batch chain (forward → halo strip → channel select →
+        overlap-add) stays on device: patch predictions are never fetched to
+        host (the reference round-trips every patch through numpy,
+        predictor.py:131-149), and the only H2D — the input patches — is
+        prefetched a batch ahead.  Host↔device traffic per volume is one
+        upload of the patches plus one download of the final averaged map.
+        """
         import jax.numpy as jnp
 
         from ..ops.overlap import overlap_add_into
@@ -242,32 +297,36 @@ class StandardPredictor(_AbstractPredictor):
         accumulate_probe = jax.jit(overlap_add_into)
         accumulate = jax.jit(overlap_add_into, donate_argnums=(0, 1))
 
+        pc = self.prediction_channel
+
+        @jax.jit
+        def postpatch(pred):
+            # device-side halo strip + channel select on the full (padded)
+            # batch — padded tail rows ride along, masked by `valid`
+            pred = _unpad_channels_last(pred, patch_halo)
+            if pc is not None:
+                pred = pred[..., pc : pc + 1]
+            return pred
+
         batch_size = None
-        for input, indices in test_loader:
-            input = np.asarray(input)
+        for input, indices in self._prefetch_device_batches(test_loader):
             n = input.shape[0]
             if batch_size is None:
                 batch_size = n
-            prediction = self._predict_batch(input)  # (n, pd', ph', pw', C)
-            prediction = _unpad_channels_last(prediction, patch_halo)
-            if self.prediction_channel is not None:
-                prediction = prediction[..., self.prediction_channel : self.prediction_channel + 1]
+            out_dev, n = self._predict_batch_device(input)
+            prediction = postpatch(out_dev)  # (B, pd', ph', pw', C) on device
             starts = np.array(
                 [[idx[0].start, idx[1].start, idx[2].start] for idx in indices],
                 np.int32,
             )
             valid = np.ones((n,), np.float32)
-            if n < batch_size:  # pad tail to the static batch shape
+            if n < batch_size:  # pad the host-side metadata to the static shape
                 pad = batch_size - n
-                prediction = np.concatenate(
-                    [prediction, np.repeat(prediction[-1:], pad, axis=0)], axis=0
-                )
                 starts = np.concatenate(
                     [starts, np.repeat(starts[-1:], pad, axis=0)], axis=0
                 )
                 valid = np.concatenate([valid, np.zeros((pad,), np.float32)])
-            args = (jnp.asarray(prediction), jnp.asarray(starts),
-                    jnp.asarray(valid))
+            args = (prediction, jnp.asarray(starts), jnp.asarray(valid))
             if accumulate_probe is not None:  # first batch: probe, no donate
                 try:
                     new_acc, new_cnt = accumulate_probe(acc, cnt, *args)
