@@ -53,6 +53,13 @@ def parse_args():
         "compile limits — this makes the reference's 512px config of record "
         "(scripts/train.sh) work with default flags",
     )
+    p.add_argument(
+        "--remat_policy", choices=["none", "save_convs"], default="save_convs",
+        help="checkpoint policy when remat is active (ops/remat.py): "
+        "'save_convs' keeps conv outputs and recomputes only the cheap "
+        "elementwise tail (BN/ReLU/concat) in the backward pass; 'none' "
+        "recomputes whole blocks (more memory headroom, slower)",
+    )
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--dataset_on_device", action="store_true",
                    help="keep the train set in HBM; sample batches on device")
@@ -124,6 +131,7 @@ def main():
         unet_type=args.unet_type,
         base_features=args.base_features,
         remat=use_remat,
+        remat_policy=None if args.remat_policy == "none" else args.remat_policy,
         compute_dtype="bfloat16" if args.bf16 else "float32",
     )
     model = UNetModel(config)

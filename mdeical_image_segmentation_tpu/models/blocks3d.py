@@ -402,6 +402,8 @@ class TransposeConvUpsampling(nn.Module):
         # DECONV fan: torch counts out_channels*prod(k) (weight dim 1), not
         # the flax variance_scaling 'fan_in' of in_channels*prod(k)
         kinit = tinit.torch_conv_default_kernel(transpose=True)
+        from ..ops.remat import tag_conv_out
+
         if use_slab_transpose(ks, strides):
             # depth-axis hand-lowering of the 3D deconv (ops/conv3d.py):
             # same params/name as nn.ConvTranspose, ~identical math, but
@@ -422,7 +424,7 @@ class TransposeConvUpsampling(nn.Module):
                 kernel_init=kinit,
                 dtype=self.dtype,
             )(x)
-        return interpolate_nearest_nd(x, output_size)
+        return interpolate_nearest_nd(tag_conv_out(x), output_size)
 
 
 class Decoder(nn.Module):

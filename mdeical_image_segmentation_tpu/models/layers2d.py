@@ -33,6 +33,7 @@ from ..ops import conv3d
 from ..ops import initializers as tinit
 from ..ops import quant as _quant
 from ..ops.image import center_crop, upsample_bilinear2d
+from ..ops.remat import tag_conv_out
 
 KernelInit = Union[str, Callable]
 
@@ -67,7 +68,7 @@ class TorchConv(nn.Module):
         if _quant.mode() != "off" and _quant.quantizable(ks, x.shape[-1]):
             # int8 PTQ inference path (ops/quant.py): same param tree
             # ("Conv_0/{kernel,bias}"), s8×s8→s32 conv on the MXU.
-            return _quant.Int8Conv(
+            return tag_conv_out(_quant.Int8Conv(
                 features=self.features,
                 kernel_size=ks,
                 strides=strides,
@@ -77,12 +78,12 @@ class TorchConv(nn.Module):
                 bias_init=tinit.torch_conv_default_bias(fan_in),
                 dtype=self.dtype,
                 name="Conv_0",
-            )(x)
+            )(x))
         if conv3d.use_slab(ks, strides):
             # TPU: lower the depth axis by hand onto XLA's 2D conv path
             # (~2x on v5e — ops/conv3d.py). name="Conv_0" keeps the param
             # tree identical to the nn.Conv branch below.
-            return conv3d.SlabConv3D(
+            return tag_conv_out(conv3d.SlabConv3D(
                 features=self.features,
                 kernel_size=ks,
                 padding=self.padding,
@@ -91,8 +92,8 @@ class TorchConv(nn.Module):
                 bias_init=tinit.torch_conv_default_bias(fan_in),
                 dtype=self.dtype,
                 name="Conv_0",
-            )(x)
-        return nn.Conv(
+            )(x))
+        return tag_conv_out(nn.Conv(
             features=self.features,
             kernel_size=ks,
             strides=strides,
@@ -101,7 +102,7 @@ class TorchConv(nn.Module):
             kernel_init=_resolve_kernel_init(self.kernel_init),
             bias_init=tinit.torch_conv_default_bias(fan_in),
             dtype=self.dtype,
-        )(x)
+        )(x))
 
 
 class TorchConvTranspose(nn.Module):
@@ -126,7 +127,7 @@ class TorchConvTranspose(nn.Module):
         # — transpose=True makes the kernel init count the same fan.
         fan_in = math.prod(ks) * self.features
         pad = tuple((k - 1 - self.torch_padding,) * 2 for k in ks)
-        return nn.ConvTranspose(
+        return tag_conv_out(nn.ConvTranspose(
             features=self.features,
             kernel_size=ks,
             strides=tuple(self.strides),
@@ -134,7 +135,7 @@ class TorchConvTranspose(nn.Module):
             kernel_init=_resolve_kernel_init(self.kernel_init, transpose=True),
             bias_init=tinit.torch_conv_default_bias(fan_in),
             dtype=self.dtype,
-        )(x)
+        )(x))
 
 
 class TorchBatchNorm(nn.Module):

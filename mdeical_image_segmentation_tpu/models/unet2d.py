@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.image import max_pool2d, upsample_bilinear2d
+from ..ops.remat import resolve_policy
 from .layers2d import (
     ConvBNReLU,
     DoubleConvolution,
@@ -58,13 +59,21 @@ class UNet(nn.Module):
     # (PERF.md base8 roofline), so recomputing the conv pair instead of
     # stashing its intermediates trades idle FLOPs for activation traffic
     remat: bool = False
+    # checkpoint policy under remat (ops/remat.py): 'save_convs' keeps the
+    # tagged conv outputs and recomputes only the elementwise tail — the
+    # remat sweep's root cause (conv recompute re-reads full-res HBM inputs)
+    # says whole-block recompute is the expensive part
+    remat_policy: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         del train  # no BN/dropout in the classic UNet
         f = self.base_features
         downs = (f, 2 * f, 4 * f, 8 * f)
-        dc_cls = nn.remat(DoubleConvolution) if self.remat else DoubleConvolution
+        dc_cls = (
+            nn.remat(DoubleConvolution, policy=resolve_policy(self.remat_policy))
+            if self.remat else DoubleConvolution
+        )
         n_dc = 0
 
         def dc(feats, x):
@@ -106,6 +115,7 @@ class _UNet3PlusBackbone(nn.Module):
     bn_axis_name: Optional[str] = None
     dtype: Optional[Any] = None
     remat: bool = False  # rematerialize blocks (memory + compile-size lever)
+    remat_policy: Optional[str] = None  # see ops/remat.py
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
@@ -114,8 +124,9 @@ class _UNet3PlusBackbone(nn.Module):
         up_ch = cat_ch * 5
         if self.remat:
             # `train` is python control flow inside the blocks → static
-            conv_cls = nn.remat(UNetConv2, static_argnums=(2,))
-            cbr_cls = nn.remat(ConvBNReLU, static_argnums=(2,))
+            policy = resolve_policy(self.remat_policy)
+            conv_cls = nn.remat(UNetConv2, static_argnums=(2,), policy=policy)
+            cbr_cls = nn.remat(ConvBNReLU, static_argnums=(2,), policy=policy)
         else:
             conv_cls, cbr_cls = UNetConv2, ConvBNReLU
 
@@ -179,12 +190,13 @@ class UNet3Plus(nn.Module):
     bn_axis_name: Optional[str] = None
     dtype: Optional[Any] = None
     remat: bool = False
+    remat_policy: Optional[str] = None  # see ops/remat.py
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         hd = _UNet3PlusBackbone(
             self.in_channels, self.is_batchnorm, self.bn_axis_name, self.dtype,
-            self.remat,
+            self.remat, self.remat_policy,
         )(x, train)
         return TorchConv(
             self.n_classes, (3, 3), kernel_init="kaiming", dtype=self.dtype
@@ -206,6 +218,7 @@ class UNet3PlusDeepSup(nn.Module):
     bn_axis_name: Optional[str] = None
     dtype: Optional[Any] = None
     remat: bool = False
+    remat_policy: Optional[str] = None  # see ops/remat.py
 
     @nn.compact
     def __call__(
@@ -213,7 +226,7 @@ class UNet3PlusDeepSup(nn.Module):
     ) -> Tuple[jax.Array, ...]:
         hd = _UNet3PlusBackbone(
             self.in_channels, self.is_batchnorm, self.bn_axis_name, self.dtype,
-            self.remat,
+            self.remat, self.remat_policy,
         )(x, train)
         outs = []
         for i in range(1, 6):
@@ -245,6 +258,7 @@ class UNet3PlusDeepSupCGM(nn.Module):
     bn_axis_name: Optional[str] = None
     dtype: Optional[Any] = None
     remat: bool = False
+    remat_policy: Optional[str] = None  # see ops/remat.py
 
     @nn.compact
     def __call__(
@@ -252,7 +266,7 @@ class UNet3PlusDeepSupCGM(nn.Module):
     ) -> Tuple[jax.Array, ...]:
         hd = _UNet3PlusBackbone(
             self.in_channels, self.is_batchnorm, self.bn_axis_name, self.dtype,
-            self.remat,
+            self.remat, self.remat_policy,
         )(x, train)
 
         # Classification branch on the bottleneck.

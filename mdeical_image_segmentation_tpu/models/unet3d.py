@@ -55,6 +55,9 @@ class AbstractUNet(nn.Module):
     # extra FLOPs for activation memory — the standard lever for big 3D
     # patches (jax.checkpoint / nn.remat)
     remat: bool = False
+    # checkpoint policy under remat (ops/remat.py): 'save_convs' keeps the
+    # tagged conv outputs, recomputing only norm/act/pool in the backward
+    remat_policy: Optional[str] = None
 
     def _f_maps(self) -> List[int]:
         f_maps = self.f_maps
@@ -72,9 +75,12 @@ class AbstractUNet(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         f_maps = self._f_maps()
         if self.remat:
+            from ..ops.remat import resolve_policy
+
             # `train` is python control flow inside the blocks → static
-            encoder_cls = nn.remat(Encoder, static_argnums=(2,))
-            decoder_cls = nn.remat(Decoder, static_argnums=(3,))
+            policy = resolve_policy(self.remat_policy)
+            encoder_cls = nn.remat(Encoder, static_argnums=(2,), policy=policy)
+            decoder_cls = nn.remat(Decoder, static_argnums=(3,), policy=policy)
         else:
             encoder_cls, decoder_cls = Encoder, Decoder
 
@@ -188,7 +194,7 @@ _MODEL_FIELDS = {
     "in_channels", "out_channels", "final_sigmoid", "f_maps", "layer_order",
     "num_groups", "num_levels", "is_segmentation", "conv_kernel_size",
     "pool_kernel_size", "conv_padding", "conv_upscale", "upsample",
-    "dropout_prob", "dtype", "remat",
+    "dropout_prob", "dtype", "remat", "remat_policy",
 }
 
 

@@ -56,6 +56,9 @@ class UNetConfig:
     param_dtype: str = "float32"
     compute_dtype: str = "float32"   # "bfloat16" runs the convs on the MXU in bf16
     remat: bool = False              # rematerialize blocks (all 2D variants)
+    # checkpoint policy under remat (ops/remat.py): None = whole-block
+    # recompute, 'save_convs' = keep conv outputs, recompute elementwise only
+    remat_policy: Optional[str] = None
     # HF-contract fields (consumed by the trainer):
     label_names: str = "labels"
     main_input_name: str = "images"
@@ -107,6 +110,7 @@ class UNetModel:
                 out_channels=config.out_channels,
                 base_features=config.base_features,
                 remat=config.remat,
+                remat_policy=config.remat_policy,
             )
             self.criterion = (
                 cross_entropy if config.out_channels > 1 else bce_with_logits
@@ -115,6 +119,7 @@ class UNetModel:
             kwargs.update(
                 n_classes=config.out_channels, bn_axis_name=config.bn_axis_name,
                 remat=config.remat,
+                remat_policy=config.remat_policy,
             )
             self.criterion = segmentation_loss
         self.module = cls(**kwargs)

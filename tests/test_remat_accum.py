@@ -30,6 +30,66 @@ def test_remat_forward_and_grads_match(rng):
                                    atol=1e-7)
 
 
+def test_remat_policy_save_convs_matches_plain(rng):
+    """remat + the 'save_convs' checkpoint policy (ops/remat.py): identical
+    forward and grads to the plain model — only the backward-pass
+    recompute schedule changes (conv outputs saved, elementwise tail
+    recomputed)."""
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 8, 16, 16, 1), jnp.float32)
+    t = (x > 0.5).astype(jnp.float32)
+    cfg = {"name": "UNet3D", "in_channels": 1, "out_channels": 1, "f_maps": 8,
+           "num_levels": 2, "layer_order": "cr"}
+    plain = get_model(cfg)
+    remat = get_model({**cfg, "remat": True, "remat_policy": "save_convs"})
+    v = plain.init(rng, x, True)
+
+    def loss(model, params):
+        out = model.apply({"params": params}, x, True)
+        return jnp.mean((jax.nn.sigmoid(out) - t) ** 2)
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(plain, p))(v["params"])
+    l2, g2 = jax.value_and_grad(lambda p: loss(remat, p))(v["params"])
+    assert float(l1) == pytest.approx(float(l2), rel=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-7)
+
+
+def test_remat_policy_save_convs_unet3plus(rng):
+    """UNet-3+ (the 512² config-of-record family) under save_convs: same
+    params tree, forward, and grads as whole-block remat."""
+    from mdeical_image_segmentation_tpu.models.unet2d import UNet3Plus
+
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 32, 32, 1), jnp.float32)
+    t = (x > 0.5).astype(jnp.float32)
+    block = UNet3Plus(in_channels=1, n_classes=1, remat=True)
+    policy = UNet3Plus(in_channels=1, n_classes=1, remat=True,
+                       remat_policy="save_convs")
+    v = block.init(rng, x, True)
+
+    def loss(model, params):
+        out = model.apply({"params": params, "batch_stats": v["batch_stats"]},
+                          x, True, mutable=["batch_stats"])[0]
+        return jnp.mean((jax.nn.sigmoid(out) - t) ** 2)
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(block, p))(v["params"])
+    l2, g2 = jax.value_and_grad(lambda p: loss(policy, p))(v["params"])
+    assert float(l1) == pytest.approx(float(l2), rel=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-7)
+
+
+def test_remat_policy_strict():
+    from mdeical_image_segmentation_tpu.ops.remat import resolve_policy
+
+    assert resolve_policy(None) is None
+    assert resolve_policy("none") is None
+    assert resolve_policy("save_convs") is not None
+    with pytest.raises(ValueError):
+        resolve_policy("save_conv")  # typo must not silently no-op
+
+
 def test_gradient_accumulation_trains(tmp_path):
     """Accumulated micro-batches produce a working training run."""
     from mdeical_image_segmentation_tpu.data import SyntheticSliceDataset
