@@ -325,7 +325,8 @@ def main():
     # (scripts/train.sh UNet_3Plus 512²) first — it was the one skipped in
     # round 2 when the tunnel's chip-claim latency ate the budget — then the
     # 3D rows, then the cheap base16 curve point.
-    ref_config = extra(bench_unet3plus)
+    # save_convs policy: 460 vs 645 ms/step whole-block (r4 A/B, PERF.md)
+    ref_config = extra(bench_unet3plus, remat_policy="save_convs")
     vol = extra(bench_unet3d)  # BASELINE metric #2
     vol64 = extra(bench_unet3d, f_maps=64, batch=1, steps=15)  # ref width
     resid = extra(bench_unet3d, name="ResidualUNet3D", num_levels=5,
