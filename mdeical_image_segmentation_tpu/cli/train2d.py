@@ -54,11 +54,16 @@ def parse_args():
         "(scripts/train.sh) work with default flags",
     )
     p.add_argument(
-        "--remat_policy", choices=["none", "save_convs"], default="save_convs",
+        "--remat_policy",
+        choices=["none", "save_convs", "save_convs_norms", "everything"],
+        default="save_convs",
         help="checkpoint policy when remat is active (ops/remat.py): "
         "'save_convs' keeps conv outputs and recomputes only the cheap "
-        "elementwise tail (BN/ReLU/concat) in the backward pass; 'none' "
-        "recomputes whole blocks (more memory headroom, slower)",
+        "elementwise tail (BN/ReLU/concat) in the backward pass; "
+        "'save_convs_norms' keeps norm outputs too (least recompute, most "
+        "residual memory that still beats whole-block); 'none' recomputes "
+        "whole blocks (most memory headroom, slowest). At 512px only "
+        "'save_convs' fits the TPU compile limits (PERF.md round-4 sweep)",
     )
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--dataset_on_device", action="store_true",

@@ -33,7 +33,7 @@ from ..ops import conv3d
 from ..ops import initializers as tinit
 from ..ops import quant as _quant
 from ..ops.image import center_crop, upsample_bilinear2d
-from ..ops.remat import tag_conv_out
+from ..ops.remat import tag_conv_out, tag_norm_out
 
 KernelInit = Union[str, Callable]
 
@@ -151,14 +151,14 @@ class TorchBatchNorm(nn.Module):
         scale_init = (
             tinit.norm_scale_002() if self.init_type else nn.initializers.ones
         )
-        return nn.BatchNorm(
+        return tag_norm_out(nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
             scale_init=scale_init,
             axis_name=self.axis_name,
             dtype=self.dtype,
-        )(x)
+        )(x))
 
 
 class ConvBNReLU(nn.Module):

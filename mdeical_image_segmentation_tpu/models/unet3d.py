@@ -55,8 +55,9 @@ class AbstractUNet(nn.Module):
     # extra FLOPs for activation memory — the standard lever for big 3D
     # patches (jax.checkpoint / nn.remat)
     remat: bool = False
-    # checkpoint policy under remat (ops/remat.py): 'save_convs' keeps the
-    # tagged conv outputs, recomputing only norm/act/pool in the backward
+    # checkpoint policy under remat (ops/remat.py): 'save_convs_norms'
+    # (keep conv + GN outputs) measured +2% vs +9% save_convs / +30%
+    # whole-block on the 3D config of record (PERF.md round-4 sweep)
     remat_policy: Optional[str] = None
 
     def _f_maps(self) -> List[int]:

@@ -57,7 +57,8 @@ class UNetConfig:
     compute_dtype: str = "float32"   # "bfloat16" runs the convs on the MXU in bf16
     remat: bool = False              # rematerialize blocks (all 2D variants)
     # checkpoint policy under remat (ops/remat.py): None = whole-block
-    # recompute, 'save_convs' = keep conv outputs, recompute elementwise only
+    # recompute; 'save_convs' keeps conv outputs (the only policy that fits
+    # TPU compile limits at 512px); 'save_convs_norms' keeps norm outputs too
     remat_policy: Optional[str] = None
     # HF-contract fields (consumed by the trainer):
     label_names: str = "labels"

@@ -613,4 +613,6 @@ class GroupNorm(nn.Module):
             )
         else:
             y = group_norm(x, scale, bias, self.num_groups, self.epsilon)
-        return y.astype(out_dtype)
+        from .remat import tag_norm_out
+
+        return tag_norm_out(y.astype(out_dtype))

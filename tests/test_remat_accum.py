@@ -30,17 +30,20 @@ def test_remat_forward_and_grads_match(rng):
                                    atol=1e-7)
 
 
-def test_remat_policy_save_convs_matches_plain(rng):
-    """remat + the 'save_convs' checkpoint policy (ops/remat.py): identical
-    forward and grads to the plain model — only the backward-pass
-    recompute schedule changes (conv outputs saved, elementwise tail
-    recomputed)."""
+@pytest.mark.parametrize(
+    "policy", ["save_convs", "save_convs_norms", "everything"]
+)
+def test_remat_policy_matches_plain(rng, policy):
+    """remat + a checkpoint policy (ops/remat.py): identical forward and
+    grads to the plain model — only the backward-pass recompute schedule
+    changes (save_convs keeps conv outputs; save_convs_norms keeps norm
+    outputs too; everything saves all residuals — structural remat)."""
     x = jnp.asarray(np.random.RandomState(0).rand(1, 8, 16, 16, 1), jnp.float32)
     t = (x > 0.5).astype(jnp.float32)
     cfg = {"name": "UNet3D", "in_channels": 1, "out_channels": 1, "f_maps": 8,
-           "num_levels": 2, "layer_order": "cr"}
+           "num_levels": 2, "layer_order": "gcr"}
     plain = get_model(cfg)
-    remat = get_model({**cfg, "remat": True, "remat_policy": "save_convs"})
+    remat = get_model({**cfg, "remat": True, "remat_policy": policy})
     v = plain.init(rng, x, True)
 
     def loss(model, params):
@@ -55,16 +58,21 @@ def test_remat_policy_save_convs_matches_plain(rng):
                                    atol=1e-7)
 
 
-def test_remat_policy_save_convs_unet3plus(rng):
-    """UNet-3+ (the 512² config-of-record family) under save_convs: same
-    params tree, forward, and grads as whole-block remat."""
+def test_remat_policy_unet3plus(rng):
+    """UNet-3+ (the 512² config-of-record family) under save_convs_norms:
+    same params tree, forward, and grads as whole-block remat.
+
+    save_convs_norms is the leg that exercises the 2D BatchNorm norm_out
+    tag (layers2d.TorchBatchNorm); the cheaper 3D parametrized test above
+    covers all three policies through GroupNorm.  One policy pair keeps
+    this compile-heavy CPU test ~2 min instead of ~6."""
     from mdeical_image_segmentation_tpu.models.unet2d import UNet3Plus
 
     x = jnp.asarray(np.random.RandomState(1).rand(1, 32, 32, 1), jnp.float32)
     t = (x > 0.5).astype(jnp.float32)
     block = UNet3Plus(in_channels=1, n_classes=1, remat=True)
     policy = UNet3Plus(in_channels=1, n_classes=1, remat=True,
-                       remat_policy="save_convs")
+                       remat_policy="save_convs_norms")
     v = block.init(rng, x, True)
 
     def loss(model, params):
@@ -86,6 +94,8 @@ def test_remat_policy_strict():
     assert resolve_policy(None) is None
     assert resolve_policy("none") is None
     assert resolve_policy("save_convs") is not None
+    assert resolve_policy("save_convs_norms") is not None
+    assert resolve_policy("everything") is not None
     with pytest.raises(ValueError):
         resolve_policy("save_conv")  # typo must not silently no-op
 
