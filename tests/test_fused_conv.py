@@ -189,6 +189,7 @@ def test_double2d_gradients_match():
         np.testing.assert_allclose(a, b_, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow  # opt-in (TPUSEG_FUSED_CONV) path; /verify + nightly run the slow tier
 def test_unet2d_forward_unchanged_under_fused_path():
     """Model-level: the classic UNet forward is identical with the fused
     DoubleConvolution path forced (interpreted)."""
@@ -224,6 +225,7 @@ def test_unet2d_forward_unchanged_under_fused_path():
     np.testing.assert_allclose(y_fused, y_ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow  # opt-in (TPUSEG_FUSED_CONV) path; /verify + nightly run the slow tier
 def test_unet3d_forward_unchanged_under_fused_path():
     """Model-level integration: forcing the fused 'gcr' path (interpreted)
     leaves the UNet3D forward and the param tree unchanged."""
@@ -290,6 +292,7 @@ def test_mode_gate():
             os.environ["TPUSEG_FUSED_CONV"] = old
 
 
+@pytest.mark.slow  # opt-in (TPUSEG_FUSED_CONV) path; /verify + nightly run the slow tier
 def test_fused_double2d_stands_aside_under_quant():
     """int8 PTQ routes every eligible conv through TorchConv's quant
     stand-in; the fused float DoubleConvolution kernel must therefore not
@@ -340,6 +343,7 @@ def test_fused_double2d_stands_aside_under_quant():
     )
 
 
+@pytest.mark.slow  # opt-in (TPUSEG_FUSED_CONV) path; /verify + nightly run the slow tier
 def test_fused_gcr_stands_aside_under_cross_shard_norm():
     """cross_shard_group_stats psums GroupNorm statistics inside ops.norm;
     the fused 'gcr' kernel computes LOCAL stats only, so it must stand

@@ -193,6 +193,9 @@ class TestFactory:
 
 
 class TestJittedTraining:
+    @pytest.mark.slow  # ~3 min of CPU compile at the MS-SSIM-minimum 192²;
+    # guards a linearization regression in rarely-touched ops — /verify +
+    # nightly run the slow tier
     def test_jit_grad_segmentation_loss_through_bn_model(self):
         """Regression: jit(value_and_grad) of the hybrid loss through a
         BatchNorm UNet-3+ must compile (a traced reduce_window init value

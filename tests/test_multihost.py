@@ -65,6 +65,7 @@ def _results(outputs):
     return res
 
 
+@pytest.mark.slow  # 2-process DP integration (module fixture spawns real workers); /verify + nightly
 def test_two_process_training_completes(two_process_run):
     _, outputs = two_process_run
     res = _results(outputs)
@@ -73,6 +74,7 @@ def test_two_process_training_completes(two_process_run):
     assert res[1]["global_step"] == 4
 
 
+@pytest.mark.slow  # 2-process DP integration (module fixture spawns real workers); /verify + nightly
 def test_replicas_agree_bitwise_on_loss_and_eval(two_process_run):
     _, outputs = two_process_run
     res = _results(outputs)
@@ -81,6 +83,7 @@ def test_replicas_agree_bitwise_on_loss_and_eval(two_process_run):
         assert res[0]["eval"][k] == pytest.approx(res[1]["eval"][k], abs=1e-7)
 
 
+@pytest.mark.slow  # 2-process DP integration (module fixture spawns real workers); /verify + nightly
 def test_eval_metrics_are_sane(two_process_run):
     _, outputs = two_process_run
     res = _results(outputs)
@@ -89,6 +92,7 @@ def test_eval_metrics_are_sane(two_process_run):
         assert 0.0 <= v <= 1.0 or k == "eval_loss", (k, v)
 
 
+@pytest.mark.slow  # 2-process DP integration (module fixture spawns real workers); /verify + nightly
 def test_only_primary_wrote_checkpoints(two_process_run):
     out, outputs = two_process_run
     _results(outputs)

@@ -266,11 +266,15 @@ def test_mean_loss_matches_torch_trainer(short_runs):
     )
 
 
+@pytest.mark.parity
 def test_converged_dice_tracks_torch(converged_runs):
     """Mid-convergence (dice≈0.92) quality parity; measured gap 0.57%.
 
     The gap closes with convergence depth (0.19% at dice 0.98 — the
-    north-star leg below); this in-suite leg pins 1.5%."""
+    north-star leg below); this leg pins 1.5%.  Parity tier (round-4
+    durations profile: its 80-step torch+jax fixture costs ~4 min of the
+    default run, and the deeper 200-step leg below subsumes its claim —
+    /verify and nightly run both)."""
     from mdeical_image_segmentation_tpu.metrics.metrics2d import compute_metrics
 
     eval_logits, eval_labels, metrics = converged_runs
