@@ -42,6 +42,11 @@ def main():
              "[,quantize=int8][,calib_batches=1][,tta=1]"
     )
     parser.add_argument(
+        "--exported", action="append", default=[],
+        help="name=<model name>,path=<tpuseg-export artifact dir>"
+             "[,threshold=0.5] — serve an AOT artifact (no model code)"
+    )
+    parser.add_argument(
         "--sam", action="append", default=[],
         help="name=<model name>,path=<save_sam dir> (promptable segmentation)"
     )
@@ -66,6 +71,12 @@ def main():
             quantize=kv.get("quantize"),
             calib_batches=int(kv.get("calib_batches", 1)),
             tta=_parse_bool("tta", kv.get("tta", "0")),
+        )
+    for spec in args.exported:
+        kv = dict(item.split("=", 1) for item in spec.split(","))
+        registry.register_exported(
+            kv["name"], kv["path"],
+            threshold=float(kv.get("threshold", 0.5)),
         )
     for spec in args.sam:
         kv = dict(item.split("=", 1) for item in spec.split(","))

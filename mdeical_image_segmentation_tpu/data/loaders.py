@@ -215,11 +215,19 @@ def _dataset_class(loaders_config: Dict[str, Any]):
     return DATASETS.get(name)
 
 
-def get_train_loaders(config: Dict[str, Any], n_devices: int = 1) -> Dict[str, VolumeLoader]:
+def get_train_loaders(
+    config: Dict[str, Any], n_devices: int = 1, mesh=None
+) -> Dict[str, VolumeLoader]:
     """{'train': loader, 'val': loader} (reference utils.py:182-227).
 
     ``n_devices`` plays the role of the reference's GPU count: the global
     batch is batch_size × n_devices.
+
+    ``loaders: {device_cache: true}`` (TPU extension, needs ``mesh``) keeps
+    the train volumes HBM-resident and samples/augments patches inside a
+    jitted program — see data/device_cache.py.  Unsupported pipelines
+    (elastic deformation, weight maps, …) fall back to the host loader
+    with a warning.
     """
     assert "loaders" in config, "config is missing its 'loaders' section"
     loaders_config = config["loaders"]
@@ -256,11 +264,38 @@ def get_train_loaders(config: Dict[str, Any], n_devices: int = 1) -> Dict[str, V
     logger.info(f"train/val loaders: {num_workers} worker threads")
     prefetch = 2 if num_workers else 0
 
-    return {
-        "train": VolumeLoader(
+    train_loader = None
+    if loaders_config.get("device_cache") and mesh is None:
+        logger.warning(
+            "device_cache requested but no mesh was provided (spatial mode "
+            "or a bare get_train_loaders call) — using the host loader"
+        )
+    if loaders_config.get("device_cache") and mesh is not None:
+        from .device_cache import DeviceCachedVolumeLoader, DeviceCacheUnsupported
+
+        try:
+            train_loader = DeviceCachedVolumeLoader(
+                train_datasets,
+                batch_size=batch_size,
+                mesh=mesh,
+                seed=config.get("seed", 0),
+                cache_dtype=loaders_config.get("device_cache_dtype", "float32"),
+                budget_gb=float(
+                    loaders_config.get("device_cache_budget_gb", 4.0)
+                ),
+            )
+        except DeviceCacheUnsupported as e:
+            logger.warning(
+                f"device_cache requested but unsupported ({e}); "
+                "falling back to the host loader"
+            )
+    if train_loader is None:
+        train_loader = VolumeLoader(
             ConcatDataset(train_datasets), batch_size=batch_size, shuffle=True,
             prefetch=prefetch, drop_last=True, num_workers=num_workers,
-        ),
+        )
+    return {
+        "train": train_loader,
         "val": VolumeLoader(
             ConcatDataset(val_datasets), batch_size=batch_size, shuffle=False,
             prefetch=prefetch, num_workers=num_workers,

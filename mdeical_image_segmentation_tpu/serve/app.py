@@ -64,6 +64,15 @@ class ModelEntry:
     # serial path.
     dispatch: Optional[Callable[..., Any]] = None
     fetch: Optional[Callable[[Any], np.ndarray]] = None
+    # Transfer-compact entries (TPU extension): the jitted program takes
+    # uint8 [0,255] images (H2D ÷4 vs fp32) and returns uint8 label masks
+    # (D2H ÷4·C vs fp32 probabilities) — both normalize/threshold/argmax
+    # run on device.  The registry loaders set these; plain test doubles
+    # keep the float/probs contract.  The serve path only ever consumes
+    # thresholded masks, so nothing is lost device-side.
+    input_mode: str = "float"    # "uint8" → _build_input skips the /255
+    output_mode: str = "probs"   # "mask" → engine results are uint8 labels
+    n_classes: Optional[int] = None
 
 
 class ModelRegistry:
@@ -123,21 +132,38 @@ class ModelRegistry:
                 combos, v, x, pick=lambda out: out.logits, **kw,
             )
 
+        # transfer-compact halves (ModelEntry.input_mode/output_mode): the
+        # /255 normalize and the threshold/argmax both run ON DEVICE so the
+        # tunnel moves uint8 both ways (the serve saturation is
+        # transfer-bound — PERF.md serving section)
+        def prep(x):
+            return x.astype(jnp.float32) / 255.0
+
+        if model.config.out_channels > 1:
+            def mask_head(p):
+                return jnp.argmax(p, axis=-1).astype(jnp.uint8)
+        else:
+            thr = float(threshold)
+
+            def mask_head(p):
+                return (p[..., 0] > thr).astype(jnp.uint8)
+
         if quantize == "int8":
             from ..ops import quant as _q
 
             @jax.jit
             def calib_fwd(v, q, x):
                 logits, upd = _q.wrap_apply(ens_logits, "calib")(
-                    {**v, "quant": q}, x, mutable=["quant"]
+                    {**v, "quant": q}, prep(x), mutable=["quant"]
                 )
-                return probs(logits), upd["quant"]
+                return mask_head(probs(logits)), upd["quant"]
 
             @jax.jit
             def int8_fwd(v, q, x):
-                return probs(
-                    _q.wrap_apply(ens_logits, "int8")({**v, "quant": q}, x)
-                )
+                return mask_head(probs(
+                    _q.wrap_apply(ens_logits, "int8")({**v, "quant": q},
+                                                      prep(x))
+                ))
 
             state = {"seen": 0, "scales": {}}
 
@@ -159,7 +185,7 @@ class ModelRegistry:
         else:
             @jax.jit
             def forward(x):
-                return probs(ens_logits(variables, x))
+                return mask_head(probs(ens_logits(variables, prep(x))))
 
             def dispatch(x):
                 return forward(jnp.asarray(x))
@@ -176,6 +202,76 @@ class ModelRegistry:
                 threshold=threshold,
                 dispatch=dispatch,
                 fetch=np.asarray,
+                input_mode="uint8",
+                output_mode="mask",
+                n_classes=max(int(model.config.out_channels), 2),
+            ),
+            default=default,
+        )
+
+    def register_exported(self, name: str, path: str, *,
+                          threshold: float = 0.5, default: bool = False):
+        """Serve a ``tpuseg-export`` artifact (export.py) — no model code
+        or checkpoint plumbing; the program ships its params as constants.
+
+        2D dense artifacts only (3D volumes go through the predictor, not
+        single-slice HTTP), and the artifact must emit probabilities
+        (``output: probs``) since the engine thresholds them directly."""
+        from ..export import load_exported
+
+        model = load_exported(path)
+        meta = model.meta
+        if meta.get("kind") != "2d":
+            raise ValueError(
+                f"{path}: kind={meta.get('kind')!r} — only 2D artifacts "
+                "serve over HTTP (use the sliding-window predictor for 3D)"
+            )
+        if meta.get("output") != "probs":
+            raise ValueError(
+                f"{path}: output={meta.get('output')!r} — serving needs a "
+                "probability-emitting artifact (export without --logits)"
+            )
+        if meta["input_shape"][0] != "b":
+            raise ValueError(
+                f"{path}: batch pinned to {meta['input_shape'][0]} — the "
+                "engine coalesces variable batches; export with the "
+                "default symbolic batch"
+            )
+        h, w = meta["input_shape"][1], meta["input_shape"][2]
+        if h != w:
+            raise ValueError(
+                f"{path}: non-square input {h}x{w} — the HTTP resize "
+                "contract is square resolutions"
+            )
+
+        import jax
+        import jax.numpy as jnp
+
+        out_ch = model.out_channels
+        thr = float(threshold)
+
+        @jax.jit  # compose uint8 prep + the exported program + mask head
+        def fwd(x):
+            p = model._exported.call(x.astype(jnp.float32) / 255.0)
+            if out_ch > 1:
+                return jnp.argmax(p, axis=-1).astype(jnp.uint8)
+            return (p[..., 0] > thr).astype(jnp.uint8)
+
+        def dispatch(x):
+            return fwd(jnp.asarray(x))
+
+        self.register(
+            ModelEntry(
+                name=name,
+                forward=lambda x: np.asarray(dispatch(x)),
+                in_channels=model.in_channels,
+                resolution=int(h),
+                threshold=threshold,
+                dispatch=dispatch,
+                fetch=np.asarray,
+                input_mode="uint8",
+                output_mode="mask",
+                n_classes=max(out_ch, 2),
             ),
             default=default,
         )
@@ -496,6 +592,9 @@ class SegmentationServer:
             img = img[..., None]
         orig_hw = img.shape[:2]
         img = nearest_resize(img, (entry.resolution, entry.resolution))
+        if entry.input_mode == "uint8":
+            # transfer-compact entry: ship raw uint8, /255 runs on device
+            return img, orig_hw
         return img.astype(np.float32) / 255.0, orig_hw
 
     def _build_prompts(self, payload: Dict[str, Any], entry: ModelEntry,
@@ -547,6 +646,12 @@ class SegmentationServer:
                 else:
                     probs = self.engine.infer(entry.name, image, pts, lbl, box)
                 mask = (probs > entry.threshold).astype(np.uint8)
+            elif entry.output_mode == "mask":
+                # transfer-compact entry: the device already thresholded /
+                # argmax'd; the engine result IS the uint8 label mask
+                probs = None
+                mask = np.asarray(self.engine.infer(entry.name, image),
+                                  np.uint8)
             else:
                 probs = self.engine.infer(entry.name, image)
                 if probs.shape[-1] > 1:
@@ -588,11 +693,14 @@ class SegmentationServer:
                 # the class count isn't knowable from the probs tensor.
                 # promptable models return 2D (H, W) probs — binary mask, so
                 # the channel count there is 2, NOT probs.shape[-1] (= width)
-                n_cls = (
-                    probs.shape[-1]
-                    if probs.ndim == 3 and probs.shape[-1] > 1
-                    else 2
-                )
+                if probs is None:  # transfer-compact entry: count from meta
+                    n_cls = entry.n_classes or 2
+                else:
+                    n_cls = (
+                        probs.shape[-1]
+                        if probs.ndim == 3 and probs.shape[-1] > 1
+                        else 2
+                    )
                 vis = mask * (255 // max(n_cls - 1, int(mask.max()), 1))
                 Image.fromarray(vis.astype(np.uint8)).save(mask_path)
                 response = mask_path

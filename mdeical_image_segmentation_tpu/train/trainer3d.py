@@ -77,7 +77,14 @@ def create_trainer(config: Dict[str, Any]) -> "UNetTrainer":
     # spatial mode: devices split each volume, not the batch — don't scale
     # the loader batch by the mesh width
     spatial = bool(par_cfg.get("spatial_halo"))
-    loaders = get_train_loaders(config, n_devices=1 if spatial else n_data)
+    # device_cache (loaders config) composes with DP/TP/ZeRO-1 but not with
+    # spatial mode (there the loader batch is one whole spatially-sharded
+    # volume, not a coordinate-sampled patch batch)
+    loaders = get_train_loaders(
+        config,
+        n_devices=1 if spatial else n_data,
+        mesh=None if spatial else mesh,
+    )
 
     optimizer_config = config["optimizer"]
     optimizer = create_optimizer(optimizer_config)
@@ -534,9 +541,34 @@ class UNetTrainer:
         train_eval_scores = RunningAverage()
         rng = jax.random.PRNGKey(self.seed + 1)
 
-        for input, target, weight in self._prefetched_batches(
-            self.loaders["train"]
-        ):
+        # Device-side loss accumulation (same pattern as trainer2d's
+        # _loop_bookkeeping): a lazy scalar add per step, host-synced only
+        # at log/validate boundaries and at epoch end, so JAX's async
+        # dispatch pipeline stays full — a per-step float(loss) fetch
+        # serializes every step through the tunnel (measured: it was most
+        # of the 179 vs ~95 ms/step gap on the device_cache path, PERF.md).
+        # Identical averages: the batch size is static, so flushing
+        # interval_sum/steps with weight n*steps equals per-step updates.
+        loss_acc, loss_acc_n, loss_acc_steps = None, 0, 0
+
+        def flush_losses():
+            nonlocal loss_acc, loss_acc_n, loss_acc_steps
+            if loss_acc_steps:
+                train_losses.update(
+                    float(jax.device_get(loss_acc)) / loss_acc_steps,
+                    loss_acc_n,
+                )
+                loss_acc, loss_acc_n, loss_acc_steps = None, 0, 0
+
+        train_loader = self.loaders["train"]
+        if getattr(train_loader, "is_device_cached", False):
+            # HBM-resident volumes (data/device_cache.py): batches come out
+            # of a jitted sampler already device-placed and batch-sharded —
+            # no host assembly, no H2D, nothing to prefetch
+            batches = iter(train_loader)
+        else:
+            batches = self._prefetched_batches(train_loader)
+        for input, target, weight in batches:
             logger.info(
                 f"Training iteration [{self.num_iterations}/"
                 f"{self.max_num_iterations}]. Epoch [{self.num_epochs}/"
@@ -571,9 +603,12 @@ class UNetTrainer:
                     self._state, input, target, weight, step_rng,
                     jnp.asarray(self.current_lr, jnp.float32),
                 )
-            train_losses.update(float(jax.device_get(loss)), self._batch_size(input))
+            loss_acc = loss if loss_acc is None else loss_acc + loss
+            loss_acc_n += self._batch_size(input)
+            loss_acc_steps += 1
 
             if self.num_iterations % self.validate_after_iters == 0:
+                flush_losses()
                 eval_score = self.validate()
                 if isinstance(self.scheduler, ReduceLROnPlateau):
                     self.current_lr = self.scheduler.step(eval_score)
@@ -584,6 +619,7 @@ class UNetTrainer:
                 self._save_checkpoint(is_best)
 
             if self.num_iterations % self.log_after_iters == 0:
+                flush_losses()
                 if not self.skip_train_validation and output is not None:
                     final_activation = self.model.final_activation()
                     act_output = (
@@ -616,6 +652,11 @@ class UNetTrainer:
             if self.should_stop():
                 return True
             self.num_iterations += 1
+        # epoch-end flush doubles as an honest sync barrier: fetching the
+        # accumulated loss forces every dispatched step of the epoch to
+        # complete before train() returns (async dispatch otherwise returns
+        # with device work still in flight — PERF.md methodology)
+        flush_losses()
         return False
 
     def should_stop(self) -> bool:

@@ -524,3 +524,71 @@ def test_register_unet2d_tta_mirror(tmp_path):
     # int8+tta: calibration request is the float ensemble — matches exactly
     np.testing.assert_allclose(
         registry.get("tta_int8").forward(x), got, atol=1e-5)
+
+
+def test_compact_transfer_mask_matches_host_math(tmp_path):
+    """Transfer-compact entries (uint8 in, uint8 label mask out — the /255
+    normalize and threshold/argmax run on device) must produce the exact
+    mask the old float/probs path computed on host, for both binary
+    (threshold) and multi-class (argmax) models."""
+    registry = ModelRegistry()
+    rs = np.random.RandomState(7)
+    img = rs.randint(0, 256, (32, 32, 1), np.uint8)
+
+    for out_ch, name in ((1, "bin"), (3, "multi")):
+        model = UNetModel(
+            UNetConfig(in_channels=1, out_channels=out_ch, unet_type="UNet",
+                       base_features=4)
+        )
+        variables = model.init(jax.random.PRNGKey(out_ch),
+                               jnp.zeros((1, 32, 32, 1)))
+        path = str(tmp_path / name)
+        model.save_pretrained(path, variables)
+        registry.register_unet2d(name, path, resolution=32, threshold=0.5)
+
+        entry = registry.get(name)
+        assert entry.input_mode == "uint8" and entry.output_mode == "mask"
+        assert entry.n_classes == max(out_ch, 2)
+
+        got = entry.forward(img[None])
+        assert got.dtype == np.uint8 and got.shape == (1, 32, 32)
+
+        # host-side reference: float /255 image -> logits -> probs -> mask
+        x = img[None].astype(np.float32) / 255.0
+        logits = np.asarray(
+            model.apply(variables, x, None, train=False).logits
+        )
+        if out_ch > 1:
+            e = np.exp(logits - logits.max(-1, keepdims=True))
+            expect = np.argmax(e / e.sum(-1, keepdims=True), -1)
+        else:
+            expect = (1 / (1 + np.exp(-logits[..., 0]))) > 0.5
+        np.testing.assert_array_equal(got[0], expect[0].astype(np.uint8))
+
+
+def test_compact_transfer_http_roundtrip(tmp_path):
+    """A compact-transfer model still answers HTTP with the same mask
+    contract (uint8 labels in JSON) end-to-end."""
+    registry = ModelRegistry()
+    model = UNetModel(UNetConfig(in_channels=1, out_channels=1,
+                                 unet_type="UNet", base_features=2))
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+    bundle = str(tmp_path / "m")
+    model.save_pretrained(bundle, variables)
+    registry.register_unet2d("m", bundle, resolution=32)
+
+    srv = SegmentationServer(registry, output_dir=str(tmp_path / "masks"),
+                             max_batch=4, max_wait_ms=5.0)
+    httpd = srv.start(host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    try:
+        img_path = str(tmp_path / "img.png")
+        Image.fromarray(
+            (np.random.RandomState(1).rand(32, 32) * 255).astype(np.uint8)
+        ).save(img_path)
+        status, body = _post(port, {"image_path": img_path, "return": "mask"})
+        assert status == 200
+        mask = np.asarray(body["response"])
+        assert mask.shape == (32, 32) and set(np.unique(mask)) <= {0, 1}
+    finally:
+        srv.stop()

@@ -298,3 +298,29 @@ def test_shard_batch_tail_batch_replicates():
     even = {"input": np.ones((8, 4, 8, 8, 1), np.float32)}
     sharded = mesh_lib.shard_batch(mesh, even)
     assert not sharded["input"].sharding.is_fully_replicated
+
+
+def test_lazy_loss_flush_matches_per_step_average(volumes, tmp_path):
+    """The device-side loss accumulator (one host fetch per log/validate
+    boundary) must log the SAME train_loss_avg as per-step fetching — run
+    two identical trainers that differ only in log cadence and compare the
+    running average both log at the common boundary (iteration 4)."""
+
+    def logged(ckpt, log_every):
+        cfg = _config(volumes, ckpt, max_num_epochs=1, max_num_iterations=8,
+                      validate_after_iters=100, log_after_iters=log_every)
+        create_trainer(cfg).fit()
+        rows = {}
+        for root, _, files in os.walk(os.path.join(ckpt, "logs")):
+            for f in files:
+                if f == "metrics.jsonl":
+                    for line in open(os.path.join(root, f)):
+                        r = json.loads(line)
+                        if r["tag"] == "train_loss_avg":
+                            rows[r["step"]] = r["value"]
+        return rows
+
+    every1 = logged(str(tmp_path / "a"), 1)
+    every4 = logged(str(tmp_path / "b"), 4)
+    assert 4 in every1 and 4 in every4
+    np.testing.assert_allclose(every1[4], every4[4], rtol=1e-5)
