@@ -73,6 +73,12 @@ class ModelEntry:
     input_mode: str = "float"    # "uint8" → _build_input skips the /255
     output_mode: str = "probs"   # "mask" → engine results are uint8 labels
     n_classes: Optional[int] = None
+    # Float-contract probe kept alongside the compact path: float images in
+    # [0,1] → float probabilities, ALWAYS the un-quantized ensemble (for
+    # int8 entries this is the fidelity reference the calibrated path is
+    # judged against).  Not used by the HTTP engine; exists for tests and
+    # offline fidelity checks.
+    probs_forward: Optional[Callable[..., np.ndarray]] = None
 
 
 class ModelRegistry:
@@ -148,6 +154,13 @@ class ModelRegistry:
             def mask_head(p):
                 return (p[..., 0] > thr).astype(jnp.uint8)
 
+        @jax.jit
+        def float_probs(x):
+            return probs(ens_logits(variables, x))
+
+        def np_probs(x):
+            return np.asarray(float_probs(jnp.asarray(x)))
+
         if quantize == "int8":
             from ..ops import quant as _q
 
@@ -205,6 +218,7 @@ class ModelRegistry:
                 input_mode="uint8",
                 output_mode="mask",
                 n_classes=max(int(model.config.out_channels), 2),
+                probs_forward=np_probs,
             ),
             default=default,
         )

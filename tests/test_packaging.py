@@ -30,7 +30,8 @@ def test_console_entry_points_resolve():
     proj = _load_pyproject()["project"]
     scripts = proj["scripts"]
     assert set(scripts) == {
-        "tpuseg-train", "tpuseg-train3d", "tpuseg-predict3d", "tpuseg-serve"
+        "tpuseg-train", "tpuseg-train3d", "tpuseg-predict3d", "tpuseg-serve",
+        "tpuseg-export",
     }
     for target in scripts.values():
         mod_name, func = target.split(":")

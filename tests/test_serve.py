@@ -508,7 +508,9 @@ def test_register_unet2d_tta_mirror(tmp_path):
                              quantize="int8")
 
     x = np.random.RandomState(9).rand(2, 64, 64, 1).astype(np.float32)
-    got = registry.get("tta").forward(x)
+    # entries are transfer-compact (forward = uint8 mask); the float
+    # probability contract lives on probs_forward (serve/app.py ModelEntry)
+    got = registry.get("tta").probs_forward(x)
 
     outs = []
     for c in ([], [1], [2], [1, 2]):
@@ -521,9 +523,18 @@ def test_register_unet2d_tta_mirror(tmp_path):
     single = np.asarray(jax.nn.sigmoid(
         model.apply(variables, jnp.asarray(x), None, train=False).logits))
     assert np.abs(got - single).max() > 1e-4
-    # int8+tta: calibration request is the float ensemble — matches exactly
+    # int8+tta: probs_forward is the un-quantized fidelity reference —
+    # matches the float ensemble exactly
     np.testing.assert_allclose(
-        registry.get("tta_int8").forward(x), got, atol=1e-5)
+        registry.get("tta_int8").probs_forward(x), got, atol=1e-5)
+    # the compact serving forward (uint8 in, uint8 mask out) must agree
+    # with thresholding the float ensemble probabilities
+    xu = (x * 255.0).astype(np.uint8)
+    mask = registry.get("tta").forward(xu)
+    want_mask = (np.asarray(
+        registry.get("tta").probs_forward(xu.astype(np.float32) / 255.0)
+    )[..., 0] > 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(mask, want_mask)
 
 
 def test_compact_transfer_mask_matches_host_math(tmp_path):

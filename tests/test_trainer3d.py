@@ -304,11 +304,33 @@ def test_lazy_loss_flush_matches_per_step_average(volumes, tmp_path):
     """The device-side loss accumulator (one host fetch per log/validate
     boundary) must log the SAME train_loss_avg as per-step fetching — run
     two identical trainers that differ only in log cadence and compare the
-    running average both log at the common boundary (iteration 4)."""
+    running average both log at the common boundary (iteration 4).
+
+    The loader scales the global batch with the mesh width (loaders.py), so
+    the train volume is sized off jax.device_count() to guarantee >= 4
+    steps inside the single epoch on any mesh (the shared module fixture's
+    8 patches collapse to 1 step/epoch on the conftest's 8-device mesh)."""
+    import jax
+
+    global_batch = 2 * jax.device_count()
+    # patch grid (k, 4, 4) over a (8k, 64, 64) volume with 8x16x16 patches
+    # -> 16k patches; pick k so >= 4 full global batches exist
+    k = -(-4 * global_batch // 16)
+    p = str(tmp_path / "train_scaled.h5")
+    raw = np.random.RandomState(3).rand(8 * k, 64, 64).astype(np.float32)
+    with h5py.File(p, "w") as f:
+        f.create_dataset("raw", data=raw)
+        f.create_dataset("label", data=(raw > 0.6).astype(np.uint8))
+    phase = _phase(p)
+    phase["slice_builder"] = {"name": "SliceBuilder",
+                              "patch_shape": [8, 16, 16],
+                              "stride_shape": [8, 16, 16],
+                              "skip_shape_check": True}
 
     def logged(ckpt, log_every):
         cfg = _config(volumes, ckpt, max_num_epochs=1, max_num_iterations=8,
                       validate_after_iters=100, log_after_iters=log_every)
+        cfg["loaders"]["train"] = phase
         create_trainer(cfg).fit()
         rows = {}
         for root, _, files in os.walk(os.path.join(ckpt, "logs")):
