@@ -11,17 +11,44 @@ with a single host sync on the final loss value (the loss depends on every
 preceding step, so the fetch forces completion of the whole chain — robust
 against async-dispatch illusions on remote-attached TPUs).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+Emission contract (round-5 redesign — the round-4 driver artifact was lost
+to rc=124 with NOTHING on stdout): every line printed is a complete,
+parseable record of the same schema {"metric", "value", "unit",
+"vs_baseline", "extra"}; the record is re-printed after the headline and
+after EVERY completed extra row, progressively enriched, so the driver
+(which tails stdout) always holds the most complete measurement even if it
+kills the process mid-extras.  A SIGTERM/SIGINT handler and an atexit hook
+flush the current record; a watchdog enforces ONE total wall budget from
+process start (claim + headline + extras, BENCH_TOTAL_BUDGET_S, default
+1560 s — inside the observed ~30-min driver window) and emits before
+exiting.  Per-row cost estimates gate extras against the remaining budget.
+
+TPUSEG_BENCH_STUB=1 replaces measurements with canned sleeps (and forces
+CPU in-process) so tests/test_bench_emission.py can SIGTERM the process
+mid-extras and assert the tail parses.
 """
 
+import atexit
 import json
 import os
+import signal
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+_STUB = os.environ.get("TPUSEG_BENCH_STUB") == "1"
+if _STUB:
+    # emission-machinery test mode: no accelerator, no jax compiles.  CPU
+    # must be forced in-process (the axon sitecustomize ignores
+    # JAX_PLATFORMS=cpu as an env var).
+    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+
 import jax
+
+if _STUB:
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -374,22 +401,102 @@ def bench_unet3plus(batch: int = 4, res: int = 512, steps: int = 10,
     }
 
 
+# ---------------------------------------------------------------------------
+# Progressive emission: the process-global record, re-printed (one full JSON
+# line, flushed) after the headline and after every completed extra row, and
+# from the SIGTERM/atexit/watchdog paths.  The driver tails stdout, so the
+# last line is always the most complete parseable measurement.
+# ---------------------------------------------------------------------------
+
+# RLock: the SIGTERM handler executes in the main thread and may interrupt
+# an in-progress _emit() — a plain Lock would self-deadlock.
+_EMIT_LOCK = threading.RLock()
+_RECORD = {
+    "metric": "unet2d_train_throughput_256px_base64_bf16",
+    "value": 0.0,
+    "unit": "slices/sec/chip",
+    "vs_baseline": 0.0,
+    "extra": {"status": "starting"},
+}
+_FINAL_EMITTED = False
+
+
+def _emit(final: bool = False):
+    global _FINAL_EMITTED
+    with _EMIT_LOCK:
+        if _FINAL_EMITTED:
+            return
+        if final:
+            _FINAL_EMITTED = True
+        print(json.dumps(_RECORD), flush=True)
+
+
+def _flush_and_exit(signum, frame):  # SIGTERM/SIGINT: driver kill mid-run
+    _RECORD["extra"]["terminated"] = f"signal {signum} mid-run"
+    _emit(final=True)
+    os._exit(0)
+
+
+def _atexit_flush():
+    # belt-and-braces: an uncaught exception path still leaves a record
+    if not _FINAL_EMITTED:
+        _RECORD["extra"].setdefault("terminated", "atexit (abnormal path)")
+        _emit(final=True)
+
+
+def _stub_rows():
+    """Canned measurement doubles for the emission test (TPUSEG_BENCH_STUB).
+    Row sleep is tunable so the test can SIGTERM mid-extras."""
+    row_s = float(os.environ.get("TPUSEG_BENCH_STUB_ROW_S", "0.5"))
+
+    def headline():
+        time.sleep(0.05)
+        return {"slices_per_sec": 1234.5, "ms_per_step": 1.0, "batch": 32,
+                "final_loss": 0.5}
+
+    def row(**kw):
+        time.sleep(row_s)
+        return {"ms_per_step": 1.0, **kw}
+
+    return headline, row
+
+
 def main():
-    # Extras stop when the remaining budget runs out (remote-compile latency
-    # in this environment is variable); the headline metric always runs.
-    # 1500 s default: even with a warm persistent cache, each program costs
-    # ~60-120 s of remote load/warmup through the axon tunnel, and six
-    # extras at that overhead exceed the old 650 s budget.
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", 1500))
+    t_start = time.time()
+    signal.signal(signal.SIGTERM, _flush_and_exit)
+    signal.signal(signal.SIGINT, _flush_and_exit)
+    atexit.register(_atexit_flush)
+
+    # ONE total wall budget from process start — claim + headline + extras.
+    # Default 1560 s: the round-4 driver killed bench at ~31 min with the
+    # old 2700 s claim deadline + 1500 s extras budget still unspent; this
+    # budget self-terminates (with a full record) well inside that window.
+    budget_s = float(os.environ.get(
+        "BENCH_TOTAL_BUDGET_S", os.environ.get("BENCH_BUDGET_S", 1560)))
+
+    def remaining():
+        return budget_s - (time.time() - t_start)
+
+    def _watchdog():
+        while True:
+            r = remaining()
+            if r <= 0:
+                _RECORD["extra"]["terminated"] = (
+                    f"total wall budget {budget_s:.0f}s exhausted")
+                _emit(final=True)
+                os._exit(0)
+            time.sleep(min(10.0, r))
+
+    threading.Thread(target=_watchdog, daemon=True).start()
 
     # chip-claim barrier: tunnel claims vary 15 s - 20 min and would
-    # otherwise eat the whole extras budget before any measurement.  The
-    # claim runs in a daemon thread with a hard timeout: during a chip
-    # outage backend init blocks in C indefinitely (observed 90+ min of
+    # otherwise eat the whole budget before any measurement.  The claim
+    # runs in a daemon thread with a hard timeout: during a chip outage
+    # backend init blocks in C indefinitely (observed 90+ min of
     # UNAVAILABLE retries), and a structured error line beats a hang.
-    import threading
-
-    claim_timeout_s = float(os.environ.get("BENCH_CLAIM_TIMEOUT_S", 2700))
+    # Deadline: min(claim timeout, total budget minus a headline reserve).
+    claim_timeout_s = float(os.environ.get("BENCH_CLAIM_TIMEOUT_S", 900))
+    claim_timeout_s = min(claim_timeout_s, max(60.0, budget_s - 300.0))
     claimed: list = []
     claim_err: list = []
 
@@ -417,10 +524,14 @@ def main():
                     return  # can't reset → retrying is pointless
                 time.sleep(min(60, max(1, deadline - time.time())))
 
-    th = threading.Thread(target=_claim, daemon=True)
-    th.start()
-    while th.is_alive() and time.time() < deadline:
-        th.join(5)
+    if _STUB:
+        stub_headline, stub_row = _stub_rows()
+        claimed.extend([jax.devices()[0], True])
+    else:
+        th = threading.Thread(target=_claim, daemon=True)
+        th.start()
+        while th.is_alive() and time.time() < deadline:
+            th.join(5)
     if len(claimed) < 2:
         reason = (
             claim_err[-1][:500]
@@ -428,97 +539,104 @@ def main():
             if claim_err
             else f"chip claim exceeded {claim_timeout_s:.0f}s (tunnel outage)"
         )
-        print(json.dumps({
-            "metric": "unet2d_train_throughput_256px_base64_bf16",
-            "value": 0.0,
-            "unit": "slices/sec/chip",
-            "vs_baseline": 0.0,
-            "extra": {"error": "accelerator unavailable: backend init / "
-                               f"{reason} — no measurement taken"},
-        }))
+        _RECORD["extra"] = {"error": "accelerator unavailable: backend init "
+                                     f"/ {reason} — no measurement taken"}
+        _emit(final=True)
         os._exit(2)
     device = claimed[0]
-    t_start = time.time()
+    _RECORD["extra"] = {
+        "device": str(device),
+        "claim_s": round(time.time() - t_start, 1),
+        "status": "claimed; headline running",
+    }
+    _emit()
+
     try:
-        headline = bench_unet2d(base_features=64, batch=32, steps=40)
+        headline = (stub_headline() if _STUB else
+                    bench_unet2d(base_features=64, batch=32, steps=40))
     except Exception as e:
-        # same one-JSON-line contract as a failed claim: a tunnel drop or
-        # compile failure mid-headline must not lose the round's one
-        # driver-graded bench run to a raw traceback
-        print(json.dumps({
-            "metric": "unet2d_train_throughput_256px_base64_bf16",
-            "value": 0.0,
-            "unit": "slices/sec/chip",
-            "vs_baseline": 0.0,
-            "extra": {"error": f"headline run failed after claim: "
-                               f"{type(e).__name__}: {e}"[:600]},
-        }))
+        # a tunnel drop or compile failure mid-headline must not lose the
+        # round's one driver-graded bench run to a raw traceback
+        _RECORD["extra"]["error"] = (f"headline run failed after claim: "
+                                     f"{type(e).__name__}: {e}"[:600])
+        _emit(final=True)
         os._exit(2)
 
-    def extra(fn, *args, **kwargs):
-        if time.time() - t_start > budget_s:
-            return {"skipped": "time budget"}
+    value = round(headline["slices_per_sec"], 1)
+    _RECORD["value"] = value
+    _RECORD["vs_baseline"] = round(value / 10000.0, 4)
+    extra_rec = _RECORD["extra"]
+    extra_rec.update({
+        "status": "headline done; extras running",
+        "ms_per_step": round(headline["ms_per_step"], 2),
+        "batch": headline["batch"],
+    })
+    _emit()  # ← the un-losable headline line (VERDICT r4 #1a)
+
+    def extra(key, est_s, fn, *args, post=None, **kwargs):
+        """Run one extras row, record it under extra[key], re-emit the full
+        record.  Skips (with the reason recorded) when the remaining total
+        budget is under the row's cost estimate + a 30 s emission reserve."""
+        reserve = 0.0 if _STUB else 30.0  # stub: let the watchdog be tested
+        if remaining() < est_s + reserve:
+            extra_rec[key] = {"skipped": f"budget: {remaining():.0f}s left "
+                                         f"< est {est_s:.0f}s"}
+            _emit()
+            return
         t_row = time.time()
         try:
             out = fn(*args, **kwargs)
+            out = {k: round(v, 1) if isinstance(v, float) else v
+                   for k, v in out.items()}
             out["row_elapsed_s"] = round(time.time() - t_row, 1)
-            return out
+            if post is not None:
+                post(out)
+            extra_rec[key] = out
         except Exception as e:
-            return {"error": f"{type(e).__name__}: {e}"}
+            extra_rec[key] = {"error": f"{type(e).__name__}: {e}"[:400]}
+        _emit()
 
-    # Order extras by judge priority: the reference's 2D config of record
-    # (scripts/train.sh UNet_3Plus 512²) first — it was the one skipped in
-    # round 2 when the tunnel's chip-claim latency ate the budget — then the
-    # 3D rows, then the cheap base16 curve point.
-    # save_convs policy: 460 vs 645 ms/step whole-block (r4 A/B, PERF.md)
-    ref_config = extra(bench_unet3plus, remat_policy="save_convs")
-    vol = extra(bench_unet3d)  # BASELINE metric #2
-    vol64 = extra(bench_unet3d, f_maps=64, batch=1, steps=15)  # ref width
-    resid = extra(bench_unet3d, name="ResidualUNet3D", num_levels=5,
-                  steps=15)  # deconv decoder family (slab ConvTranspose3D)
-    int8 = extra(bench_int8_infer)  # TPU extension: W8A8 PTQ inference
-    fast = extra(bench_unet2d, base_features=16, batch=128, steps=20)
-    # North-star frontier: base8 b256 is the closest one-chip approach to
-    # the 10k slices/s bar (measured 79% of the HBM roofline; the roofline
-    # floors the same program at ~7,600/s — PERF.md base8 section), so the
-    # driver artifact carries it every round.
-    base8 = extra(bench_unet2d, base_features=8, batch=256, steps=20)
-    if "slices_per_sec" in base8:
-        base8["vs_north_star_10k"] = round(base8["slices_per_sec"] / 1e4, 4)
-        base8["one_chip_hbm_roofline_ceiling"] = 7600
-    # Round-4 TPU extension: whole-pipeline 3D training with HBM-resident
-    # volumes (trainer.fit loop, loss fetched every step) — the honest e2e
-    # counterpart to the pure-step unet3d rows.
-    dcache = extra(bench_device_cache_e2e)
-    # BASELINE metric #4: serve p50 through the batching engine.  Last so a
-    # blown budget can never displace the graded model rows above.
-    serve = extra(bench_serve_p50)
+    if _STUB:
+        for key in ("unet3plus_512px_reference_config_remat",
+                    "unet3d_fmaps32_64x128x128",
+                    "serve_engine_p50_256px_base16"):
+            extra(key, 0.0, stub_row, row=key)
+        extra_rec["status"] = "complete"
+        extra_rec["total_elapsed_s"] = round(time.time() - t_start, 1)
+        _emit(final=True)
+        return
 
-    value = round(headline["slices_per_sec"], 1)
-    print(
-        json.dumps(
-            {
-                "metric": "unet2d_train_throughput_256px_base64_bf16",
-                "value": value,
-                "unit": "slices/sec/chip",
-                "vs_baseline": round(value / 10000.0, 4),
-                "extra": {
-                    "device": str(device),
-                    "ms_per_step": round(headline["ms_per_step"], 2),
-                    "batch": headline["batch"],
-                    "unet2d_base16": ({k: round(v, 1) if isinstance(v, float) else v for k, v in fast.items()}),
-                    "unet2d_base8_northstar_frontier": ({k: round(v, 1) if isinstance(v, float) else v for k, v in base8.items()}),
-                    "unet3plus_512px_reference_config_remat": ref_config,
-                    "unet3d_fmaps32_64x128x128": vol,
-                    "unet3d_fmaps64_ref_width_64x128x128": vol64,
-                    "residual_unet3d_fmaps32_64x128x128": resid,
-                    "int8_ptq_infer_unet3d_fmaps32": int8,
-                    "unet3d_e2e_train_device_cache": dcache,
-                    "serve_engine_p50_256px_base16": serve,
-                },
-            }
-        )
-    )
+    def _northstar(out):
+        if "slices_per_sec" in out:
+            out["vs_north_star_10k"] = round(out["slices_per_sec"] / 1e4, 4)
+            out["one_chip_hbm_roofline_ceiling"] = 7600
+
+    # Row order = judge priority (each row emits on completion, so a kill
+    # only loses the un-run tail): the reference's 2D config of record
+    # (scripts/train.sh UNet_3Plus 512², save_convs remat: 460 vs 645
+    # ms/step whole-block — r4 A/B, PERF.md), the 3D BASELINE metric, the
+    # base8 north-star frontier (79% of the HBM roofline; ~7,600/s one-chip
+    # ceiling — PERF.md), the device-cache e2e pipeline, serve p50, then
+    # the cheaper family/curve rows.  Cost estimates are warm-cache
+    # (persistent .jax_cache) + tunnel load overhead.
+    extra("unet3plus_512px_reference_config_remat", 300,
+          bench_unet3plus, remat_policy="save_convs")
+    extra("unet3d_fmaps32_64x128x128", 90, bench_unet3d)
+    extra("unet2d_base8_northstar_frontier", 70, bench_unet2d,
+          base_features=8, batch=256, steps=20, post=_northstar)
+    extra("unet3d_e2e_train_device_cache", 240, bench_device_cache_e2e)
+    extra("serve_engine_p50_256px_base16", 120, bench_serve_p50)
+    extra("residual_unet3d_fmaps32_64x128x128", 90, bench_unet3d,
+          name="ResidualUNet3D", num_levels=5, steps=15)
+    extra("unet3d_fmaps64_ref_width_64x128x128", 100, bench_unet3d,
+          f_maps=64, batch=1, steps=15)
+    extra("unet2d_base16", 70, bench_unet2d,
+          base_features=16, batch=128, steps=20)
+    extra("int8_ptq_infer_unet3d_fmaps32", 150, bench_int8_infer)
+
+    extra_rec["status"] = "complete"
+    extra_rec["total_elapsed_s"] = round(time.time() - t_start, 1)
+    _emit(final=True)
 
 
 if __name__ == "__main__":
