@@ -64,6 +64,12 @@ class ModelEntry:
     # serial path.
     dispatch: Optional[Callable[..., Any]] = None
     fetch: Optional[Callable[[Any], np.ndarray]] = None
+    # Non-blocking readiness probe on a dispatch handle (jax.Array.is_ready
+    # for registry entries).  Lets the engine's "fill" drain policy keep
+    # coalescing batch k+1 while batch k still executes — a probe that
+    # reports ready early (possible through the axon tunnel) just degrades
+    # to the eager policy, never blocks.
+    ready: Optional[Callable[[Any], bool]] = None
     # Transfer-compact entries (TPU extension): the jitted program takes
     # uint8 [0,255] images (H2D ÷4 vs fp32) and returns uint8 label masks
     # (D2H ÷4·C vs fp32 probabilities) — both normalize/threshold/argmax
@@ -219,6 +225,7 @@ class ModelRegistry:
                 output_mode="mask",
                 n_classes=max(int(model.config.out_channels), 2),
                 probs_forward=np_probs,
+                ready=lambda h: bool(h.is_ready()),
             ),
             default=default,
         )
@@ -339,6 +346,7 @@ class ModelRegistry:
                 threshold=threshold,
                 dispatch=lambda x: forward(jnp.asarray(x)),
                 fetch=np.asarray,
+                ready=lambda h: bool(h.is_ready()),
             ),
             default=default,
         )
@@ -379,6 +387,7 @@ class ModelRegistry:
                 name=name, forward=forward, in_channels=model.in_channels,
                 resolution=res, threshold=threshold, kind="promptable",
                 max_points=max_points, dispatch=dispatch, fetch=np.asarray,
+                ready=lambda h: bool(h.is_ready()),
             ),
             default=default,
         )
@@ -408,10 +417,28 @@ class BatchingInferenceEngine:
     """Coalesce concurrent requests per model into device batches."""
 
     def __init__(self, registry: ModelRegistry, max_batch: int = 8,
-                 max_wait_ms: float = 5.0, pad_to_pow2: bool = True):
+                 max_wait_ms: float = 5.0, pad_to_pow2: bool = True,
+                 drain_policy: str = "eager",
+                 pipeline_fill_cap_ms: float = 60.0):
         self.registry = registry
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
+        # Drain policy while a pipelined batch is in flight (entries with a
+        # ``ready`` probe):
+        #   "eager": collect for max_wait_ms and dispatch — the round-4
+        #            behavior; wins overlap but halves batch occupancy at
+        #            saturation (avg 6.0 -> 3.2 at c16, PERF.md) because the
+        #            worker drains the queue twice per device cycle.
+        #   "fill":  keep coalescing until the in-flight batch's result is
+        #            ready (or max_batch / pipeline_fill_cap_ms) — the
+        #            device execution hides the wait, so occupancy should
+        #            recover without serialization (interleaved A/B on TPU
+        #            decides the default; see PERF.md serve section).
+        if drain_policy not in ("eager", "fill"):
+            raise ValueError(f"drain_policy={drain_policy!r}: "
+                             "expected 'eager' or 'fill'")
+        self.drain_policy = drain_policy
+        self.pipeline_fill_cap = pipeline_fill_cap_ms / 1e3
         # Pad coalesced batches up to the next power of two (repeating the
         # last sample) so the jitted forward sees only ⌈log2(max_batch)⌉+1
         # distinct batch shapes instead of max_batch: on TPU every new shape
@@ -474,15 +501,35 @@ class BatchingInferenceEngine:
                     pending = None
                 continue
             batch = [first]
-            deadline = time.monotonic() + self.max_wait
+            # "fill" drain: with a batch in flight and a readiness probe,
+            # coalescing is free until the device finishes — poll the probe
+            # between short queue waits and only dispatch when the in-flight
+            # result is ready, the batch is full, or the cap expires (the
+            # cap guards against a probe that never flips through the
+            # tunnel; a probe that flips EARLY just degrades to eager).
+            fill = (self.drain_policy == "fill" and pending is not None
+                    and entry.ready is not None)
+            deadline = time.monotonic() + (
+                self.pipeline_fill_cap if fill else self.max_wait)
             while len(batch) < self.max_batch:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     break
-                try:
-                    batch.append(q.get(timeout=remaining))
-                except queue.Empty:
-                    break
+                if fill:
+                    try:
+                        if entry.ready(pending[2]):
+                            break
+                    except Exception:
+                        break  # un-probeable handle: dispatch what we have
+                    try:
+                        batch.append(q.get(timeout=min(remaining, 0.002)))
+                    except queue.Empty:
+                        continue  # device still busy: keep coalescing
+                else:
+                    try:
+                        batch.append(q.get(timeout=remaining))
+                    except queue.Empty:
+                        break
             with self._lock:
                 occ = self._occupancy.setdefault(model_name, [0, 0])
                 occ[0] += 1

@@ -259,6 +259,78 @@ def test_engine_pipelined_dispatch_fetch():
         engine.stop()
 
 
+def test_engine_fill_drain_coalesces_while_in_flight():
+    """drain_policy='fill': while a dispatched batch is in flight (ready
+    probe False), the worker keeps coalescing batch k+1 past max_wait_ms —
+    requests trickling in with gaps >> max_wait land in ONE batch instead
+    of fragmenting (the round-4 eager policy's occupancy collapse).
+
+    Deterministic choreography: dispatch() blocks on a gate, so the test
+    controls exactly which requests are queued when the worker collects."""
+    import time as _time
+
+    from mdeical_image_segmentation_tpu.serve.app import (
+        BatchingInferenceEngine, ModelEntry, ModelRegistry)
+
+    dispatched = []            # batch sizes, in dispatch order
+    dispatch_gate = threading.Semaphore(0)   # test releases each dispatch
+    dispatch_seen = threading.Semaphore(0)   # worker announces each arrival
+    device_done = threading.Event()          # ready-probe flag
+
+    def dispatch(x):
+        dispatch_seen.release()
+        assert dispatch_gate.acquire(timeout=10.0)
+        dispatched.append(x.shape[0])
+        return x
+
+    registry = ModelRegistry()
+    registry.register(
+        ModelEntry(name="fill", forward=lambda x: x, in_channels=1,
+                   resolution=2, dispatch=dispatch, fetch=np.asarray,
+                   ready=lambda h: device_done.is_set()),
+        default=True,
+    )
+    engine = BatchingInferenceEngine(
+        registry, max_batch=8, max_wait_ms=2.0, pad_to_pow2=False,
+        drain_policy="fill", pipeline_fill_cap_ms=5000.0)
+    try:
+        results = []
+
+        def hit():
+            results.append(engine.infer("fill", np.zeros((2, 2, 1),
+                                                         np.float32),
+                                        timeout=30.0))
+
+        threads = [threading.Thread(target=hit) for _ in range(4)]
+        threads[0].start()
+        assert dispatch_seen.acquire(timeout=10.0)  # batch [A] collecting
+        # queue B BEFORE releasing A's dispatch, so the worker's next
+        # q.get(timeout=0) deterministically grabs it (no finalize race)
+        threads[1].start()
+        _time.sleep(0.2)
+        dispatch_gate.release()          # A goes in flight (ready: False)
+        # C and D trickle in with gaps far beyond max_wait_ms=2 — the fill
+        # policy must hold B and keep coalescing because A isn't ready
+        _time.sleep(0.2)
+        threads[2].start()
+        _time.sleep(0.2)
+        threads[3].start()
+        _time.sleep(0.2)
+        device_done.set()                # A's result is ready → dispatch now
+        assert dispatch_seen.acquire(timeout=10.0)
+        dispatch_gate.release()          # [B, C, D] goes in flight
+        for t in threads:
+            t.join(timeout=30.0)
+        assert dispatched == [1, 3], (
+            f"fill policy fragmented the trickle: {dispatched}")
+        assert len(results) == 4
+        occ = engine.occupancy()["fill"]
+        assert occ["batches"] == 2 and occ["requests"] == 4
+    finally:
+        dispatch_gate.release()
+        engine.stop()
+
+
 def test_stats_percentiles(server):
     _, port, _ = server
     status, body = _get(port, "/stats")
