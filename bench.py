@@ -82,9 +82,12 @@ def bench_unet2d(base_features: int, batch: int, res: int = 256, steps: int = 60
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(batch, res, res, 1), jnp.float32)
     y = (x > 0.5).astype(jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x[:1])
+    # jit the inits: eager init dispatches one tunnel round-trip PER OP
+    # (measured: the un-jitted 512² init dominated its row at ~300 s/run
+    # even with every jit_step program cache-hot — r5)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
     opt = optax.adamw(1e-3)
-    opt_state = opt.init(variables["params"])
+    opt_state = jax.jit(opt.init)(variables["params"])
 
     def step(params, opt_state, x, y):
         def loss_fn(p):
@@ -100,16 +103,32 @@ def bench_unet2d(base_features: int, batch: int, res: int = 256, steps: int = 60
     params, opt_state, loss = jstep(params, opt_state, x, y)
     float(loss)  # warmup + compile barrier
 
-    t0 = time.time()
-    for _ in range(steps):
-        params, opt_state, loss = jstep(params, opt_state, x, y)
-    final_loss = float(loss)  # single sync forcing the whole chain
-    dt = time.time() - t0
+    # Blockwise best-of timing.  With a COLD compile cache the ~40 s compile
+    # above absorbs the tunnel's post-claim slow window; with a WARM cache the
+    # first timed block lands inside it and reads ~3.3x slow for tens of
+    # seconds (measured 272.8 vs 83.4 ms/step back-to-back, r5).  Time up to
+    # `max_blocks` blocks, keep the fastest, and stop early once a later
+    # block confirms the current best within 3% — the same >=2-block hygiene
+    # PERF.md records for short fwd probes through this tunnel.
+    max_blocks = 5
+    best_dt, final_loss, block_ms = None, 0.0, []
+    for i in range(max_blocks):
+        t0 = time.time()
+        for _ in range(steps):
+            params, opt_state, loss = jstep(params, opt_state, x, y)
+        final_loss = float(loss)  # single sync forcing the whole chain
+        dt = time.time() - t0
+        block_ms.append(round(dt / steps * 1e3, 2))
+        confirms = best_dt is not None and abs(dt - best_dt) < 0.03 * best_dt
+        best_dt = dt if best_dt is None else min(best_dt, dt)
+        if i >= 2 and confirms:  # >=3 blocks: two slow ones can't self-confirm
+            break
     return {
-        "slices_per_sec": steps * batch / dt,
-        "ms_per_step": dt / steps * 1e3,
+        "slices_per_sec": steps * batch / best_dt,
+        "ms_per_step": best_dt / steps * 1e3,
         "batch": batch,
         "final_loss": final_loss,
+        "block_ms": block_ms,
     }
 
 
@@ -131,9 +150,10 @@ def bench_unet3d(f_maps: int = 32, batch: int = 2, patch=(64, 128, 128),
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(batch, *patch, 1), jnp.float32)
     y = (x > 0.5).astype(jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x[:1], True)
+    variables = jax.jit(model.init, static_argnums=2)(
+        jax.random.PRNGKey(0), x[:1], True)
     opt = optax.adam(1e-3)
-    opt_state = opt.init(variables["params"])
+    opt_state = jax.jit(opt.init)(variables["params"])
 
     def step(params, opt_state, x, y, rng):
         def loss_fn(p):
@@ -176,7 +196,8 @@ def bench_int8_infer(f_maps: int = 32, batch: int = 2, patch=(64, 128, 128),
     )
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(batch, *patch, 1), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x[:1], False)
+    variables = jax.jit(model.init, static_argnums=2)(
+        jax.random.PRNGKey(0), x[:1], False)
 
     def timed(fn, v):
         # two warmup fetches: through the axon tunnel a single first-call
@@ -304,8 +325,8 @@ def bench_serve_p50(concurrency: int = 16, n_requests: int = 240,
     model = UNetModel(UNetConfig(
         in_channels=1, out_channels=1, unet_type="UNet",
         base_features=base_features, compute_dtype="bfloat16"))
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, res, res, 1)))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, res, res, 1)))
     model.save_pretrained(path, variables)
     registry = ModelRegistry()
     registry.register_unet2d("unet", path, resolution=res)
@@ -379,12 +400,12 @@ def bench_unet3plus(batch: int = 4, res: int = 512, steps: int = 10,
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(batch, res, res, 3), jnp.float32)
     y = (x[..., :1] > 0.5).astype(jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x[:1])
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
     params, batch_stats = variables["params"], variables["batch_stats"]
     opt = optax.adamw(5e-3, weight_decay=1e-3)
     if accum > 1:
         opt = optax.MultiSteps(opt, every_k_schedule=accum)
-    opt_state = opt.init(params)
+    opt_state = jax.jit(opt.init)(params)
 
     def step(params, batch_stats, opt_state, x, y):
         def loss_fn(p):
@@ -585,6 +606,7 @@ def main():
         "status": "headline done; extras running",
         "ms_per_step": round(headline["ms_per_step"], 2),
         "batch": headline["batch"],
+        "headline_block_ms": headline.get("block_ms", []),
     })
     _emit()  # ← the un-losable headline line (VERDICT r4 #1a)
 
