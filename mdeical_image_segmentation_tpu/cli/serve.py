@@ -89,7 +89,7 @@ def main():
 
         model = UNetModel(UNetConfig(in_channels=1, out_channels=1,
                                      unet_type="UNet", base_features=8))
-        variables = model.init(
+        variables = jax.jit(model.init)(
             jax.random.PRNGKey(0),
             jax.numpy.zeros((1, 256, 256, 1)),
         )

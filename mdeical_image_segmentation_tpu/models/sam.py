@@ -473,7 +473,13 @@ def load_sam(path: str):
                      config["in_channels"]), jnp.float32)
     pts = jnp.zeros((1, 1, 2))
     lbl = jnp.ones((1, 1), jnp.int32)
-    template = model.init(jax.random.PRNGKey(0), img, pts, lbl)
+    # structure-only template via eval_shape: no device work, no compile
+    # (an eager init costs minutes through a remote-device tunnel, r5)
+    import numpy as np
+
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), img, pts, lbl)
+    template = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), shapes)
     with open(os.path.join(path, "params.msgpack"), "rb") as f:
         variables = flax.serialization.from_bytes(template, f.read())
     return model, variables

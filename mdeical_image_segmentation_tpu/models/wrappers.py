@@ -31,6 +31,7 @@ from typing import Any, Dict, Optional, Tuple
 import flax
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..losses.losses2d import bce_with_logits, cross_entropy, segmentation_loss
 from .unet2d import UNet, UNet3Plus, UNet3PlusDeepSup, UNet3PlusDeepSupCGM
@@ -179,9 +180,14 @@ class UNetModel:
         with open(os.path.join(path, "config.json")) as f:
             config = UNetConfig.from_dict(json.load(f))
         model = cls(config)
-        # Build a structure template, then restore bytes into it.
+        # Build a structure template, then restore bytes into it.  The
+        # template only needs tree structure + shapes/dtypes: eval_shape
+        # traces init without running it (no device work, no compile — a
+        # real init costs minutes through a remote-device tunnel, r5).
         sample = jnp.zeros((1, 64, 64, config.in_channels), jnp.float32)
-        template = model.init(jax.random.PRNGKey(0), sample)
+        shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), sample)
+        template = jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), shapes)
         with open(os.path.join(path, "params.msgpack"), "rb") as f:
             variables = flax.serialization.from_bytes(template, f.read())
         return model, variables

@@ -23,6 +23,7 @@ from typing import Any, Dict, Optional, Tuple, Union
 import flax
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..losses.losses3d import get_loss_criterion
 from .unet3d import MODELS_3D, AbstractUNet
@@ -156,7 +157,11 @@ class UNet3DForMedicalSegmentation:
         model = cls(config)
         nsp = 3 if config.is3d else 2
         sample = jnp.zeros((1,) + (32,) * nsp + (config.in_channels,), jnp.float32)
-        template = model.init(jax.random.PRNGKey(0), sample)
+        # structure-only template via eval_shape: no device work, no compile
+        # (an eager init costs minutes through a remote-device tunnel, r5)
+        shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), sample)
+        template = jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), shapes)
         with open(os.path.join(path, "params.msgpack"), "rb") as f:
             variables = flax.serialization.from_bytes(template, f.read())
         return model, variables

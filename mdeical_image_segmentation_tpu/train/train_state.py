@@ -35,10 +35,15 @@ def create_train_state(
     sample_images,
     optimizer: optax.GradientTransformation,
 ) -> TrainState:
-    variables = model.init(rng, sample_images, True)
+    # jit both inits: un-jitted they dispatch one device round-trip PER OP,
+    # which costs minutes of startup on a remote-attached TPU (measured
+    # ~150 s for a UNet3D init through the axon tunnel, r5); jitted they
+    # are one cacheable program each (train flag static).
+    variables = jax.jit(model.init, static_argnums=2)(
+        rng, sample_images, True)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    opt_state = optimizer.init(params)
+    opt_state = jax.jit(optimizer.init)(params)
     import jax.numpy as jnp
 
     return TrainState(

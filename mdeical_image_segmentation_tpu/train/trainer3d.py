@@ -297,14 +297,17 @@ class UNetTrainer:
         x = jnp.asarray(sample_input[:1])
         if not self.model.is3d:
             x = jnp.squeeze(x, axis=1)
-        variables = self.model.init(rng, x, True)
+        # jitted init: eager init dispatches per-op through the device
+        # tunnel (~150 s measured for UNet3D f_maps=32 on the remote chip,
+        # r5); one jitted (cacheable) program brings it to seconds
+        variables = jax.jit(self.model.init, static_argnums=2)(rng, x, True)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         self._has_bn = bool(batch_stats)
         logger.info(
             f"Number of learnable params {get_number_of_learnable_parameters(params)}"
         )
-        opt_state = self.optimizer.init(params)
+        opt_state = jax.jit(self.optimizer.init)(params)
         state = {
             "params": params,
             "batch_stats": batch_stats,
