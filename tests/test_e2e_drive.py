@@ -71,10 +71,10 @@ def test_drive_tree_train_eval_serve(tmp_path, monkeypatch):
         "--resolution", "64",
         "--base_features", "8",
         "--in_channels", "3",
-        "--max_steps", "150",
+        "--max_steps", "100",
         "--eval_strategy", "steps",
-        "--eval_steps", "75",
-        "--logging_steps", "75",
+        "--eval_steps", "50",
+        "--logging_steps", "50",
         "--save_steps", "1000",
         "--per_device_train_batch_size", "4",
         "--per_device_eval_batch_size", "4",

@@ -68,6 +68,8 @@ class TestWrapper:
     def test_deepsup_loss_is_sum_over_heads(self, rng):
         cfg = UNetConfig(in_channels=1, out_channels=1, unet_type="UNet_3Plus_DeepSup")
         model = UNetModel(cfg)
+        # 192²: the hybrid loss's 5-level MS-SSIM needs min spatial dim
+        # ≥ 11·2⁴ = 176, so this compile can't be shrunk much further
         x = jnp.asarray(np.random.RandomState(0).rand(1, 192, 192, 1), jnp.float32)
         t = (jnp.ones((1, 192, 192, 1)) * (x[..., :1] > 0.5)).astype(jnp.float32)
         v = model.init(rng, x)

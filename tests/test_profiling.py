@@ -56,7 +56,7 @@ def test_trainer_profile_dir(tmp_path):
     )
     args = TrainingArguments(
         output_dir=str(tmp_path / "out"),
-        max_steps=8,
+        max_steps=5,
         per_device_train_batch_size=1,
         eval_strategy="no",
         logging_steps=0,

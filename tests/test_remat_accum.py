@@ -58,6 +58,9 @@ def test_remat_policy_matches_plain(rng, policy):
                                    atol=1e-7)
 
 
+@pytest.mark.slow  # ~65 s: two full UNet-3+ fwd+bwd CPU compiles.  The 3D
+# parametrized policy test above keeps the remat machinery (ops/remat.py)
+# in the default tier; this leg adds only the 2D BatchNorm norm_out tag.
 def test_remat_policy_unet3plus(rng):
     """UNet-3+ (the 512² config-of-record family) under save_convs_norms:
     same params tree, forward, and grads as whole-block remat.

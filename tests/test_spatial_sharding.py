@@ -237,6 +237,9 @@ def test_cross_shard_norm_is_mesh_width_invariant(gcr_setup, mesh):
     np.testing.assert_allclose(out8, out1, rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow  # opt-in (spatial_cross_shard_norm) path; the default
+# tier keeps test_cross_shard_norm_is_mesh_width_invariant as the guard —
+# this leg re-derives the same property against a monolithic oracle.
 def test_cross_shard_norm_tracks_monolithic_closer_than_per_shard(
     gcr_setup, mesh
 ):

@@ -95,6 +95,9 @@ def test_tp_gradients_match_replicated(setup):
     assert b.sharding.is_equivalent_to(a.sharding, a.ndim)
 
 
+@pytest.mark.slow  # opt-in (tensor_parallel=True) path; ~60 s of TP trainer
+# compiles.  Default-tier guards: test_tp_gradients_match_replicated here
+# and test_trainer3d::test_tensor_parallel_config.
 def test_trainer_tensor_parallel_e2e():
     """Full Trainer with tensor_parallel=True on a (2, 4) mesh: runs, and the
     per-step losses match the replicated-params run to float tolerance

@@ -225,8 +225,15 @@ def _run_tpuseg(cfg, init_sd, out_dir, n_devices: int = 8):
 @pytest.fixture(scope="module")
 def short_runs(tmp_path_factory):
     init_sd, losses, _, _ = _run_torch(SHORT)
+    # 1-device mesh, same global batch (per_device = BATCH // n_devices):
+    # identical math to the 8-device mesh — the classic UNet has no batch
+    # statistics, so the mesh width only changes dispatch overhead (~5x at
+    # these tiny shapes; this fixture was the default tier's single largest
+    # setup at 187 s).  8-device trainer dispatch is covered by
+    # test_trainer2d::test_uses_all_devices.
     result, _, jax_losses = _run_tpuseg(
-        SHORT, init_sd, str(tmp_path_factory.mktemp("parity_short"))
+        SHORT, init_sd, str(tmp_path_factory.mktemp("parity_short")),
+        n_devices=1,
     )
     return losses, jax_losses, result
 
