@@ -464,20 +464,32 @@ def _emit(final: bool = False):
             return
         if final:
             _FINAL_EMITTED = True
-        print(json.dumps(_RECORD), flush=True)
+        line = json.dumps(_RECORD)
+        # ONE atomic newline-led write instead of print(): a signal can
+        # interrupt print() mid-line, and the handler's record appended to
+        # the partial line would break the every-line-parseable contract.
+        # The leading newline terminates any partial line; blank lines are
+        # ignored by line-oriented parsers.
+        try:
+            sys.stdout.flush()
+        except Exception:
+            pass
+        os.write(sys.stdout.fileno(), ("\n" + line + "\n").encode())
 
 
 def _flush_and_exit(signum, frame):  # SIGTERM/SIGINT: driver kill mid-run
-    _RECORD["extra"]["terminated"] = f"signal {signum} mid-run"
-    _emit(final=True)
+    with _EMIT_LOCK:
+        _RECORD["extra"]["terminated"] = f"signal {signum} mid-run"
+        _emit(final=True)
     os._exit(0)
 
 
 def _atexit_flush():
     # belt-and-braces: an uncaught exception path still leaves a record
-    if not _FINAL_EMITTED:
-        _RECORD["extra"].setdefault("terminated", "atexit (abnormal path)")
-        _emit(final=True)
+    with _EMIT_LOCK:
+        if not _FINAL_EMITTED:
+            _RECORD["extra"].setdefault("terminated", "atexit (abnormal path)")
+            _emit(final=True)
 
 
 def _stub_rows():
@@ -517,9 +529,14 @@ def main():
         while True:
             r = remaining()
             if r <= 0:
-                _RECORD["extra"]["terminated"] = (
-                    f"total wall budget {budget_s:.0f}s exhausted")
-                _emit(final=True)
+                # mutate + serialize under the emit lock: an unlocked write
+                # racing a main-thread extra_rec update can crash
+                # json.dumps ("dict changed size during iteration") and
+                # silently kill the budget enforcement
+                with _EMIT_LOCK:
+                    _RECORD["extra"]["terminated"] = (
+                        f"total wall budget {budget_s:.0f}s exhausted")
+                    _emit(final=True)
                 os._exit(0)
             time.sleep(min(10.0, r))
 
@@ -575,17 +592,20 @@ def main():
             if claim_err
             else f"chip claim exceeded {claim_timeout_s:.0f}s (tunnel outage)"
         )
-        _RECORD["extra"] = {"error": "accelerator unavailable: backend init "
-                                     f"/ {reason} — no measurement taken"}
-        _emit(final=True)
+        with _EMIT_LOCK:
+            _RECORD["extra"] = {"error": "accelerator unavailable: backend "
+                                         f"init / {reason} — no measurement "
+                                         "taken"}
+            _emit(final=True)
         os._exit(2)
     device = claimed[0]
-    _RECORD["extra"] = {
-        "device": str(device),
-        "claim_s": round(time.time() - t_start, 1),
-        "status": "claimed; headline running",
-    }
-    _emit()
+    with _EMIT_LOCK:
+        _RECORD["extra"] = {
+            "device": str(device),
+            "claim_s": round(time.time() - t_start, 1),
+            "status": "claimed; headline running",
+        }
+        _emit()
 
     try:
         headline = (stub_headline() if _STUB else
@@ -593,22 +613,24 @@ def main():
     except Exception as e:
         # a tunnel drop or compile failure mid-headline must not lose the
         # round's one driver-graded bench run to a raw traceback
-        _RECORD["extra"]["error"] = (f"headline run failed after claim: "
-                                     f"{type(e).__name__}: {e}"[:600])
-        _emit(final=True)
+        with _EMIT_LOCK:
+            _RECORD["extra"]["error"] = (f"headline run failed after claim: "
+                                         f"{type(e).__name__}: {e}"[:600])
+            _emit(final=True)
         os._exit(2)
 
     value = round(headline["slices_per_sec"], 1)
-    _RECORD["value"] = value
-    _RECORD["vs_baseline"] = round(value / 10000.0, 4)
-    extra_rec = _RECORD["extra"]
-    extra_rec.update({
-        "status": "headline done; extras running",
-        "ms_per_step": round(headline["ms_per_step"], 2),
-        "batch": headline["batch"],
-        "headline_block_ms": headline.get("block_ms", []),
-    })
-    _emit()  # ← the un-losable headline line (VERDICT r4 #1a)
+    with _EMIT_LOCK:
+        _RECORD["value"] = value
+        _RECORD["vs_baseline"] = round(value / 10000.0, 4)
+        extra_rec = _RECORD["extra"]
+        extra_rec.update({
+            "status": "headline done; extras running",
+            "ms_per_step": round(headline["ms_per_step"], 2),
+            "batch": headline["batch"],
+            "headline_block_ms": headline.get("block_ms", []),
+        })
+        _emit()  # ← the un-losable headline line (VERDICT r4 #1a)
 
     def extra(key, est_s, fn, *args, post=None, **kwargs):
         """Run one extras row, record it under extra[key], re-emit the full
@@ -616,31 +638,37 @@ def main():
         budget is under the row's cost estimate + a 30 s emission reserve."""
         reserve = 0.0 if _STUB else 30.0  # stub: let the watchdog be tested
         if remaining() < est_s + reserve:
-            extra_rec[key] = {"skipped": f"budget: {remaining():.0f}s left "
-                                         f"< est {est_s:.0f}s"}
-            _emit()
+            with _EMIT_LOCK:
+                extra_rec[key] = {"skipped": f"budget: {remaining():.0f}s "
+                                             f"left < est {est_s:.0f}s"}
+                _emit()
             return
         t_row = time.time()
         try:
             out = fn(*args, **kwargs)
-            out = {k: round(v, 1) if isinstance(v, float) else v
+            # 2 decimals: the row functions round ratios (int8 speedup,
+            # req/s) to 2 themselves — a blanket 1-decimal pass was
+            # coarsening them in the graded artifact
+            out = {k: round(v, 2) if isinstance(v, float) else v
                    for k, v in out.items()}
             out["row_elapsed_s"] = round(time.time() - t_row, 1)
             if post is not None:
                 post(out)
-            extra_rec[key] = out
         except Exception as e:
-            extra_rec[key] = {"error": f"{type(e).__name__}: {e}"[:400]}
-        _emit()
+            out = {"error": f"{type(e).__name__}: {e}"[:400]}
+        with _EMIT_LOCK:
+            extra_rec[key] = out
+            _emit()
 
     if _STUB:
         for key in ("unet3plus_512px_reference_config_remat",
                     "unet3d_fmaps32_64x128x128",
                     "serve_engine_p50_256px_base16"):
             extra(key, 0.0, stub_row, row=key)
-        extra_rec["status"] = "complete"
-        extra_rec["total_elapsed_s"] = round(time.time() - t_start, 1)
-        _emit(final=True)
+        with _EMIT_LOCK:
+            extra_rec["status"] = "complete"
+            extra_rec["total_elapsed_s"] = round(time.time() - t_start, 1)
+            _emit(final=True)
         return
 
     def _northstar(out):
@@ -676,9 +704,10 @@ def main():
           base_features=16, batch=128, steps=20)
     extra("int8_ptq_infer_unet3d_fmaps32", 150, bench_int8_infer)
 
-    extra_rec["status"] = "complete"
-    extra_rec["total_elapsed_s"] = round(time.time() - t_start, 1)
-    _emit(final=True)
+    with _EMIT_LOCK:
+        extra_rec["status"] = "complete"
+        extra_rec["total_elapsed_s"] = round(time.time() - t_start, 1)
+        _emit(final=True)
 
 
 if __name__ == "__main__":

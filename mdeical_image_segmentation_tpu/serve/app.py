@@ -503,10 +503,14 @@ class BatchingInferenceEngine:
             batch = [first]
             # "fill" drain: with a batch in flight and a readiness probe,
             # coalescing is free until the device finishes — poll the probe
-            # between short queue waits and only dispatch when the in-flight
-            # result is ready, the batch is full, or the cap expires (the
-            # cap guards against a probe that never flips through the
-            # tunnel; a probe that flips EARLY just degrades to eager).
+            # between short queue waits and dispatch when the batch is full
+            # or the cap expires (the cap guards against a probe that never
+            # flips through the tunnel).  When the probe DOES flip, degrade
+            # to one eager-style max_wait window rather than dispatching
+            # immediately: the probe is usually already True right after a
+            # completion, and an instant dispatch fragments to size-~1
+            # batches (the original break-on-ready variant measured 0.939x
+            # vs eager at c16 — r5).
             fill = (self.drain_policy == "fill" and pending is not None
                     and entry.ready is not None)
             deadline = time.monotonic() + (
@@ -516,11 +520,16 @@ class BatchingInferenceEngine:
                 if remaining <= 0:
                     break
                 if fill:
+                    probe_ready = True  # un-probeable handle → eager
                     try:
-                        if entry.ready(pending[2]):
-                            break
+                        probe_ready = bool(entry.ready(pending[2]))
                     except Exception:
-                        break  # un-probeable handle: dispatch what we have
+                        pass
+                    if probe_ready:
+                        fill = False
+                        deadline = min(
+                            deadline, time.monotonic() + self.max_wait)
+                        continue
                     try:
                         batch.append(q.get(timeout=min(remaining, 0.002)))
                     except queue.Empty:

@@ -54,7 +54,10 @@ def start_server(port: int, max_batch: int = 8, max_wait_ms: float = 8.0):
         UNetConfig(in_channels=3, out_channels=1, unet_type="UNet_3Plus",
                    compute_dtype="bfloat16")
     )
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
+    # jitted init: eager full-width UNet3Plus init crawls per-op through
+    # the tunnel (r5 lesson — the 2026-08-21 rerun sat >30 min in init)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 256, 256, 3)))
 
     @jax.jit
     def fwd(x):

@@ -331,6 +331,68 @@ def test_engine_fill_drain_coalesces_while_in_flight():
         engine.stop()
 
 
+def test_engine_fill_drain_coalesces_when_probe_already_ready():
+    """Regression (r5 review): when the ready probe is ALREADY True at the
+    moment batch k+1 starts collecting (the common case right after a device
+    completion), 'fill' must degrade to an eager max_wait window — the
+    original break-on-ready dispatched size-1 batches and measured 0.939x
+    vs eager at c16."""
+    import time as _time
+
+    from mdeical_image_segmentation_tpu.serve.app import (
+        BatchingInferenceEngine, ModelEntry, ModelRegistry)
+
+    dispatched = []
+    dispatch_gate = threading.Semaphore(0)
+    dispatch_seen = threading.Semaphore(0)
+    device_done = threading.Event()
+
+    def dispatch(x):
+        dispatch_seen.release()
+        assert dispatch_gate.acquire(timeout=10.0)
+        dispatched.append(x.shape[0])
+        return x
+
+    registry = ModelRegistry()
+    registry.register(
+        ModelEntry(name="fill2", forward=lambda x: x, in_channels=1,
+                   resolution=2, dispatch=dispatch, fetch=np.asarray,
+                   ready=lambda h: device_done.is_set()),
+        default=True,
+    )
+    engine = BatchingInferenceEngine(
+        registry, max_batch=8, max_wait_ms=50.0, pad_to_pow2=False,
+        drain_policy="fill", pipeline_fill_cap_ms=5000.0)
+    try:
+        results = []
+
+        def hit():
+            results.append(engine.infer("fill2", np.zeros((2, 2, 1),
+                                                          np.float32),
+                                        timeout=30.0))
+
+        threads = [threading.Thread(target=hit) for _ in range(4)]
+        threads[0].start()
+        assert dispatch_seen.acquire(timeout=10.0)  # A collected, gated
+        # B, C, D all queued while A's dispatch is gate-blocked; the probe
+        # reads ready=True from the very first poll of the next collection
+        for t in threads[1:]:
+            t.start()
+        _time.sleep(0.3)
+        device_done.set()
+        dispatch_gate.release()          # A in flight; worker collects next
+        assert dispatch_seen.acquire(timeout=10.0)
+        dispatch_gate.release()          # must be ONE batch [B, C, D]
+        for t in threads:
+            t.join(timeout=30.0)
+        assert dispatched == [1, 3], (
+            f"ready-at-start fragmented the queue: {dispatched}")
+        assert len(results) == 4
+    finally:
+        dispatch_gate.release()
+        engine.stop()
+
+
 def test_stats_percentiles(server):
     _, port, _ = server
     status, body = _get(port, "/stats")
